@@ -1,0 +1,135 @@
+"""Training CLI.
+
+Flag surface parity with /root/reference/train.py:19-77 (the subset that is
+meaningful on TPU; NCCL/apex knobs are replaced by mesh flags).
+
+    python -m damvsnet_tpu.cli.train --dataset dtu_yao \
+        --trainpath ... --trainlist lists/dtu/train.txt \
+        --testpath ... --testlist lists/dtu/val.txt \
+        --logdir ./checkpoints --epochs 16 --batch_size 4
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser("damvsnet-tpu train")
+    p.add_argument("--mode", default="train", choices=["train", "test", "profile"])
+    p.add_argument("--model", default="mvsnet")
+    p.add_argument("--dataset", default="dtu_yao")
+    p.add_argument("--trainpath", default=None)
+    p.add_argument("--testpath", default=None)
+    p.add_argument("--trainlist", default=None)
+    p.add_argument("--testlist", default=None)
+    p.add_argument("--epochs", type=int, default=16)
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--lrepochs", default="10,12,14:2")
+    p.add_argument("--wd", type=float, default=0.0)
+    p.add_argument("--nviews", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--numdepth", type=int, default=192)
+    p.add_argument("--interval_scale", type=float, default=1.06)
+    p.add_argument("--summary_freq", type=int, default=50)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--logdir", default="./checkpoints")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--loadckpt", default=None)
+    # model config (parity: ndepths "64,32,8" etc.)
+    p.add_argument("--ndepths", default="64,32,8")
+    p.add_argument("--depth_inter_r", default="4,2,1")
+    p.add_argument("--cr_base_chs", default="8,8,8")
+    p.add_argument("--dlossw", default="0.5,1.0,2.0")
+    p.add_argument("--share_cr", action="store_true")
+    p.add_argument("--grad_method", default="detach", choices=["detach", "undetach"])
+    p.add_argument("--agg_mode", default="adaptive", choices=["adaptive", "variance"])
+    p.add_argument("--use_fmt", action="store_true")
+    p.add_argument("--no_geo_fusion", action="store_true")
+    p.add_argument("--no_cpc", action="store_true")
+    # TPU runtime
+    p.add_argument("--mesh_data", type=int, default=None,
+                   help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--profile_dir", default=None,
+                   help="write a JAX profiler trace here for the first steps")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    import numpy as np
+    import optax
+
+    from ..data import find_dataset_def
+    from ..data.common import DataLoader
+    from ..model import CascadeMVSNet
+    from ..parallel import make_mesh, shard_batch
+    from ..train.loop import Trainer
+    from ..train.schedule import make_optimizer
+    from ..train.state import (create_train_state, latest_checkpoint,
+                               restore_checkpoint)
+
+    ndepths = tuple(int(x) for x in args.ndepths.split(",") if x)
+    dlossw = tuple(float(x) for x in args.dlossw.split(",") if x)
+
+    model = CascadeMVSNet(
+        ndepths=ndepths,
+        depth_intervals_ratio=tuple(float(x) for x in args.depth_inter_r.split(",") if x),
+        cr_base_chs=tuple(int(x) for x in args.cr_base_chs.split(",") if x),
+        share_cr=args.share_cr,
+        grad_method=args.grad_method,
+        agg_mode=args.agg_mode,
+        use_fmt=args.use_fmt,
+        use_geo_fusion=not args.no_geo_fusion,
+    )
+
+    dataset_cls = find_dataset_def(args.dataset)
+    train_dataset = dataset_cls(args.trainpath, args.trainlist, "train",
+                                args.nviews, args.numdepth, args.interval_scale)
+    val_dataset = dataset_cls(args.testpath or args.trainpath,
+                              args.testlist or args.trainlist, "val",
+                              args.nviews, args.numdepth, args.interval_scale) \
+        if args.testlist else None
+
+    train_loader = DataLoader(train_dataset, args.batch_size, shuffle=True,
+                              seed=args.seed, num_workers=args.num_workers)
+    iters_per_epoch = len(train_loader)
+    tx, _ = make_optimizer(args.lr, args.lrepochs, iters_per_epoch, args.wd)
+
+    example = next(iter(DataLoader(train_dataset, args.batch_size,
+                                   num_workers=0)))
+    state = create_train_state(model, jax.random.PRNGKey(args.seed), example, tx)
+
+    os.makedirs(args.logdir, exist_ok=True)
+    if args.resume:
+        ckpt = latest_checkpoint(args.logdir)
+        if ckpt:
+            state = restore_checkpoint(ckpt, state)
+            print(f"resumed from {ckpt} at epoch {state.epoch}")
+    elif args.loadckpt:
+        state = restore_checkpoint(args.loadckpt, state, weights_only=True)
+        print(f"loaded weights from {args.loadckpt}")
+
+    mesh = make_mesh(data=args.mesh_data or len(jax.devices()), space=1)
+    trainer = Trainer(model, state, args.logdir, dlossw=dlossw,
+                      use_cpc=not args.no_cpc, summary_freq=args.summary_freq)
+
+    with mesh:
+        for epoch in range(state.epoch, args.epochs):
+            t0 = time.time()
+            means = trainer.train_epoch(
+                shard_batch(mesh, b) for b in train_loader)
+            print(f"epoch {epoch} done in {time.time() - t0:.1f}s: "
+                  + " ".join(f"{k}={v:.4f}" for k, v in means.items()))
+            if val_dataset is not None:
+                val_loader = DataLoader(val_dataset, args.batch_size,
+                                        num_workers=args.num_workers)
+                trainer.eval_epoch(shard_batch(mesh, b) for b in val_loader)
+
+
+if __name__ == "__main__":
+    main()

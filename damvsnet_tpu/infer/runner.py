@@ -1,0 +1,98 @@
+"""Per-scene depth inference runner.
+
+Parity with save_scene_depth (/root/reference/test_uni.py:207-290): for each
+reference view write depth_est/{v}.pfm (+_stage2/_stage1), confidence maps
+(stage1/2 nearest-upsampled to full resolution), cams/{v}_cam.txt and
+images/{v}.jpg under outdir/scene/.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..core.cameras import write_cam_file
+from ..core.pfm import write_pfm
+from ..data.common import DataLoader
+
+
+class DepthRunner:
+    """Jitted forward wrapper: (variables, batch) -> stage outputs."""
+
+    def __init__(self, model, variables):
+        self.model = model
+        self.variables = variables
+
+        def forward(variables, imgs, proj_matrices, depth_values, intrinsics):
+            return model.apply(variables, imgs, proj_matrices, depth_values,
+                               intrinsics, train=False)
+
+        self._forward = jax.jit(forward)
+
+    def __call__(self, batch):
+        out = self._forward(
+            self.variables, batch["imgs"], batch["proj_matrices"],
+            batch["depth_values"], batch.get("intrinsics_matrices"))
+        return jax.device_get(out)
+
+
+def _upsample_nearest_np(img, out_hw):
+    import cv2
+    return cv2.resize(img, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_NEAREST)
+
+
+def save_scene_depth(runner: DepthRunner, dataset, outdir: str,
+                     batch_size: int = 1, log_fn=print):
+    """Run depth inference over a dataset and save reference-format outputs."""
+    loader = DataLoader(dataset, batch_size=batch_size, shuffle=False,
+                        drop_last=False, num_workers=2)
+    num_stage = 3
+    total_time = 0.0
+    count = 0
+    for batch in loader:
+        t0 = time.time()
+        outputs = runner({k: v for k, v in batch.items() if k != "filename"})
+        total_time += time.time() - t0
+        count += batch["imgs"].shape[0]
+        cams = batch["proj_matrices"][f"stage{num_stage}"]
+        for i, filename in enumerate(batch["filename"]):
+            depth_est = outputs["depth"][i]
+            conf = outputs["photometric_confidence"][i]
+            h, w = conf.shape
+            pc2 = _upsample_nearest_np(
+                outputs["stage2"]["photometric_confidence"][i], (h, w))
+            pc1 = _upsample_nearest_np(
+                outputs["stage1"]["photometric_confidence"][i], (h, w))
+
+            paths = {
+                "depth": filename.format("depth_est", ".pfm"),
+                "depth2": filename.format("depth_est", "_stage2.pfm"),
+                "depth1": filename.format("depth_est", "_stage1.pfm"),
+                "conf": filename.format("confidence", ".pfm"),
+                "conf2": filename.format("confidence", "_stage2.pfm"),
+                "conf1": filename.format("confidence", "_stage1.pfm"),
+                "cam": filename.format("cams", "_cam.txt"),
+                "img": filename.format("images", ".jpg"),
+            }
+            for p in paths.values():
+                os.makedirs(os.path.join(outdir, os.path.dirname(p)), exist_ok=True)
+            write_pfm(os.path.join(outdir, paths["depth"]), depth_est.astype(np.float32))
+            write_pfm(os.path.join(outdir, paths["depth2"]),
+                      outputs["stage2"]["depth"][i].astype(np.float32))
+            write_pfm(os.path.join(outdir, paths["depth1"]),
+                      outputs["stage1"]["depth"][i].astype(np.float32))
+            write_pfm(os.path.join(outdir, paths["conf"]), conf.astype(np.float32))
+            write_pfm(os.path.join(outdir, paths["conf2"]), pc2.astype(np.float32))
+            write_pfm(os.path.join(outdir, paths["conf1"]), pc1.astype(np.float32))
+            cam = cams[i, 0]
+            write_cam_file(os.path.join(outdir, paths["cam"]),
+                           cam[1, :3, :3], cam[0], 0.0, 0.0)
+            img = np.clip(batch["imgs"][i, 0] * 255, 0, 255).astype(np.uint8)
+            import cv2
+            cv2.imwrite(os.path.join(outdir, paths["img"]),
+                        cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    if count:
+        log_fn(f"inference: {count} views, {total_time / count:.3f}s/view")
+    return count, total_time

@@ -1,0 +1,196 @@
+"""CascadeMVSNet: the 3-stage coarse-to-fine MVS depth cascade.
+
+Structural parity with /root/reference/models/cas_mvsnet.py:137-319:
+
+  per view:  FeatureNet (FPN)  [optionally FMT-transformed]
+  per stage: [GeoFeatureFusion replaces ref feature at stages 2/3]
+             -> uncertainty-aware (ADIA) depth sampling at full resolution
+             -> trilinear snap to stage resolution
+             -> DepthNet core: fused-proj plane-sweep warp -> adaptive or
+                variance cost volume -> CostRegNet 3-D U-Net -> softmax ->
+                soft-argmin depth + confidence + 3-sigma band
+  stage handoff: depth & sigma detached ("detach" grad method), bilinearly
+                 upsampled to input resolution.
+
+Everything is a pure function of (params, batch); the stage loop is a
+static Python unroll (3 compiled stages), shapes are static, and all
+resampling matches torch conventions (see ops/resize.py).
+
+Layout: images [B, N, H, W, 3]; proj_matrices {stage: [B, N, 2, 4, 4]}
+(extrinsics in slot 0, stage-scaled K in slot 1 — the dataset wire format);
+depth_values [B, D0].
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.aggweight import AggWeightNetVolume
+from ..nn.costreg import CostRegNet
+from ..nn.feature import FeatureNet
+from ..nn.fmt import FMTWithPathway
+from ..nn.geofusion import GeoFeatureFusion
+from ..nn.refine import RefineNet
+from ..ops.costvol import build_cost_volume
+from ..ops.regression import prob_volume_stats
+from ..ops.resize import resize_bilinear, resize_trilinear_depth
+from ..ops.sampling import uncertainty_aware_samples
+
+
+def fuse_projection_matrices(proj: jnp.ndarray) -> jnp.ndarray:
+    """[..., 2, 4, 4] (extrinsics, K-padded) -> fused [..., 4, 4] with
+    rows 0..2 = K @ E[:3, :4] (parity: models/cas_mvsnet.py:44-47)."""
+    ext = proj[..., 0, :, :]
+    k = proj[..., 1, :3, :3]
+    top = jnp.matmul(k, ext[..., :3, :4], precision=jax.lax.Precision.HIGHEST)
+    return jnp.concatenate([top, ext[..., 3:4, :]], axis=-2)
+
+
+class CascadeMVSNet(nn.Module):
+    ndepths: Sequence[int] = (64, 32, 8)
+    depth_intervals_ratio: Sequence[int] = (4, 2, 1)
+    cr_base_chs: Sequence[int] = (8, 8, 8)
+    share_cr: bool = False
+    grad_method: str = "detach"
+    arch_mode: str = "fpn"
+    agg_mode: str = "adaptive"  # "adaptive" | "variance"
+    base_channels: int = 8
+    use_fmt: bool = False
+    use_geo_fusion: bool = True
+    refine: bool = False
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def num_stage(self) -> int:
+        return len(self.ndepths)
+
+    def setup(self):
+        assert self.agg_mode in ("adaptive", "variance")
+        assert self.grad_method in ("detach", "undetach")
+        self.feature = FeatureNet(
+            base_channels=self.base_channels,
+            num_stage=self.num_stage,
+            arch_mode=self.arch_mode,
+        )
+        if self.use_geo_fusion:
+            self.geo_fusion = GeoFeatureFusion(
+                convolutional_layer_encoding="z", mask_type="basic",
+                add_origin_feat_flag=True)
+        if self.use_fmt:
+            self.fmt_pathway = FMTWithPathway(base_channels=self.base_channels)
+        if self.share_cr:
+            self.cost_regularization = CostRegNet(base_channels=8)
+        else:
+            self.cost_regularization = [
+                CostRegNet(base_channels=self.cr_base_chs[i],
+                           name=f"cost_reg_stage{i + 1}")
+                for i in range(self.num_stage)
+            ]
+        if self.agg_mode == "adaptive":
+            self.weight_nets = [
+                AggWeightNetVolume(name=f"agg_weight_stage{i + 1}")
+                for i in range(self.num_stage)
+            ]
+        if self.refine:
+            self.refine_network = RefineNet()
+
+    def _depth_net(self, stage_idx, features_stage, proj_stage, depth_samples,
+                   train):
+        """The per-stage DepthNet core (parity: cas_mvsnet.py:18-134)."""
+        fused = fuse_projection_matrices(proj_stage)  # [B, N, 4, 4]
+        ref_fea = features_stage[0]
+        src_feas = features_stage[1:]
+        ref_proj = fused[:, 0]
+        src_projs = [fused[:, i] for i in range(1, fused.shape[1])]
+
+        weight_fn = None
+        if self.agg_mode == "adaptive":
+            wnet = self.weight_nets[stage_idx]
+            weight_fn = lambda vol: wnet(vol, train)
+
+        volume = build_cost_volume(
+            ref_fea, src_feas, ref_proj, src_projs, depth_samples,
+            mode=self.agg_mode, weight_fn=weight_fn)
+
+        reg = (self.cost_regularization if self.share_cr
+               else self.cost_regularization[stage_idx])
+        cost_reg = reg(volume, train)[..., 0]  # [B, D, H, W]
+        out = prob_volume_stats(cost_reg, depth_samples)
+        out["depth_values"] = depth_samples
+        return out
+
+    def __call__(self, imgs, proj_matrices, depth_values,
+                 intrinsics_matrices=None, train: bool = False):
+        b, num_views, height, width, _ = imgs.shape
+
+        # step 1: per-view multi-stage features
+        features = [self.feature(imgs[:, v], train) for v in range(num_views)]
+        if self.use_fmt:
+            features = self.fmt_pathway(features)
+
+        outputs = {}
+        depth = None
+        exp_var = None
+        depth_last = None
+        confidence_last = None
+        for stage_idx in range(self.num_stage):
+            stage_name = f"stage{stage_idx + 1}"
+            features_stage = [f[stage_name] for f in features]
+            proj_stage = proj_matrices[stage_name]
+            stage_scale = 2 ** (self.num_stage - 1 - stage_idx)
+            stage_h, stage_w = height // stage_scale, width // stage_scale
+
+            # geometry-aware reference-feature fusion (stages >= 2)
+            if stage_idx >= 1 and self.use_geo_fusion:
+                ref_img_stage = resize_bilinear(imgs[:, 0], (stage_h, stage_w))
+                depth_in = resize_bilinear(
+                    depth_last[..., None],
+                    (depth_last.shape[1] * 2, depth_last.shape[2] * 2))
+                conf_in = resize_bilinear(
+                    confidence_last[..., None],
+                    (confidence_last.shape[1] * 2, confidence_last.shape[2] * 2))
+                k_stage = (None if intrinsics_matrices is None
+                           else intrinsics_matrices[stage_name])
+                features_stage[0] = self.geo_fusion(
+                    ref_img_stage, depth_in, conf_in, depth_values,
+                    stage_idx, features_stage[0], k_stage, train)
+
+            # stage handoff: previous depth & sigma, upsampled to full res
+            if depth is not None:
+                if self.grad_method == "detach":
+                    cur_depth = jax.lax.stop_gradient(depth)
+                    cur_var = jax.lax.stop_gradient(exp_var)
+                else:
+                    cur_depth = depth
+                    cur_var = exp_var
+                cur_depth = resize_bilinear(cur_depth[..., None],
+                                            (height, width))[..., 0][:, None]
+                cur_var = resize_bilinear(cur_var[..., None],
+                                          (height, width))[..., 0][:, None]
+            else:
+                cur_depth = depth_values
+                cur_var = None
+
+            samples = uncertainty_aware_samples(
+                cur_depth, cur_var, self.ndepths[stage_idx], height, width)
+            samples = resize_trilinear_depth(
+                samples, (self.ndepths[stage_idx], stage_h, stage_w))
+
+            outputs_stage = self._depth_net(
+                stage_idx, features_stage, proj_stage, samples, train)
+
+            depth = outputs_stage["depth"]
+            depth_last = outputs_stage["depth"]
+            confidence_last = outputs_stage["photometric_confidence"]
+            exp_var = outputs_stage["variance"]
+
+            outputs[stage_name] = outputs_stage
+            outputs.update(outputs_stage)
+
+        if self.refine:
+            outputs["refined_depth"] = self.refine_network(imgs[:, 0], depth, train)
+
+        return outputs

@@ -1,0 +1,185 @@
+"""Conv / BN / ReLU building blocks (flax linen, NHWC / NDHWC).
+
+Behavioral parity with the reference block zoo
+(/root/reference/models/module.py:28-294): Conv{2,3}d and Deconv{2,3}d with
+optional BatchNorm (torch momentum 0.1 -> flax momentum 0.9, eps 1e-5) and
+ReLU; bias is present iff BN is absent. Transposed convs follow torch
+``ConvTranspose{2,3}d`` semantics exactly (stride-dilated input, kernel
+flipped, padding (k-1-p, k-1-p+output_padding)), via
+:func:`conv_transpose_torch`.
+
+All modules take ``train: bool`` to select batch-stat vs running-stat
+normalization. Under jit+GSPMD, batch statistics are computed over the
+global (sharded) batch automatically — the cross-replica syncBN the
+reference gets from apex (train.py:464-470) falls out of the sharding.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+BN_MOMENTUM = 0.9  # == torch momentum 0.1
+BN_EPS = 1e-5
+
+
+def _tuple(v, n):
+    if isinstance(v, (tuple, list)):
+        assert len(v) == n
+        return tuple(v)
+    return (v,) * n
+
+
+def conv_transpose_torch(x: jnp.ndarray, kernel: jnp.ndarray,
+                         strides, padding, output_padding) -> jnp.ndarray:
+    """Torch-semantics transposed convolution.
+
+    x: [B, *spatial, Cin]; kernel: [*k, Cin, Cout] (HWIO-style).
+    out_size = (in-1)*stride - 2*pad + k + output_padding.
+    """
+    ndim = x.ndim - 2
+    strides = _tuple(strides, ndim)
+    padding = _tuple(padding, ndim)
+    output_padding = _tuple(output_padding, ndim)
+    ks = kernel.shape[:ndim]
+    pads = tuple(
+        (k - 1 - p, k - 1 - p + op)
+        for k, p, op in zip(ks, padding, output_padding)
+    )
+    flipped = kernel[(slice(None, None, -1),) * ndim]
+    if ndim == 2:
+        dn = ("NHWC", "HWIO", "NHWC")
+    elif ndim == 3:
+        dn = ("NDHWC", "DHWIO", "NDHWC")
+    else:
+        raise ValueError(f"unsupported spatial rank {ndim}")
+    return jax.lax.conv_general_dilated(
+        x, flipped,
+        window_strides=(1,) * ndim,
+        padding=pads,
+        lhs_dilation=strides,
+        rhs_dilation=(1,) * ndim,
+        dimension_numbers=dn,
+    )
+
+
+class _NormAct(nn.Module):
+    """Shared BN + ReLU tail."""
+    use_bn: bool = True
+    use_relu: bool = True
+    bn_momentum: float = BN_MOMENTUM
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=self.bn_momentum,
+                epsilon=BN_EPS,
+                dtype=jnp.float32,
+            )(x)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+class Conv2dBlock(nn.Module):
+    """Conv2d (+BN+ReLU). Parity: models/module.py:28-68 / ConvBnReLU :206-213."""
+    features: int
+    kernel_size: int | Sequence[int] = 3
+    stride: int | Sequence[int] = 1
+    padding: int | Sequence[int] | None = None  # None => torch default 0
+    relu: bool = True
+    bn: bool = True
+    bn_momentum: float = BN_MOMENTUM
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = _tuple(self.kernel_size, 2)
+        p = _tuple(0 if self.padding is None else self.padding, 2)
+        x = nn.Conv(
+            self.features, k,
+            strides=_tuple(self.stride, 2),
+            padding=[(pi, pi) for pi in p],
+            use_bias=not self.bn,
+        )(x)
+        return _NormAct(self.bn, self.relu, self.bn_momentum)(x, train)
+
+
+class Conv3dBlock(nn.Module):
+    """Conv3d (+BN+ReLU), NDHWC. Parity: models/module.py:117-159 / :227-234."""
+    features: int
+    kernel_size: int | Sequence[int] = 3
+    stride: int | Sequence[int] = 1
+    padding: int | Sequence[int] | None = None
+    relu: bool = True
+    bn: bool = True
+    bn_momentum: float = BN_MOMENTUM
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = _tuple(self.kernel_size, 3)
+        p = _tuple(0 if self.padding is None else self.padding, 3)
+        x = nn.Conv(
+            self.features, k,
+            strides=_tuple(self.stride, 3),
+            padding=[(pi, pi) for pi in p],
+            use_bias=not self.bn,
+        )(x)
+        return _NormAct(self.bn, self.relu, self.bn_momentum)(x, train)
+
+
+class Deconv2dBlock(nn.Module):
+    """ConvTranspose2d (+BN+ReLU), torch semantics. Parity: module.py:71-115."""
+    features: int
+    kernel_size: int | Sequence[int] = 3
+    stride: int | Sequence[int] = 1
+    padding: int | Sequence[int] = 0
+    output_padding: int | Sequence[int] = 0
+    relu: bool = True
+    bn: bool = True
+    bn_momentum: float = BN_MOMENTUM
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = _tuple(self.kernel_size, 2)
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            k + (cin, self.features), jnp.float32)
+        y = conv_transpose_torch(x, kernel.astype(x.dtype), self.stride,
+                                 self.padding, self.output_padding)
+        if not self.bn:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                              jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return _NormAct(self.bn, self.relu, self.bn_momentum)(y, train)
+
+
+class Deconv3dBlock(nn.Module):
+    """ConvTranspose3d (+BN+ReLU), torch semantics. Parity: module.py:161-202."""
+    features: int
+    kernel_size: int | Sequence[int] = 3
+    stride: int | Sequence[int] = 1
+    padding: int | Sequence[int] = 0
+    output_padding: int | Sequence[int] = 0
+    relu: bool = True
+    bn: bool = True
+    bn_momentum: float = BN_MOMENTUM
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = _tuple(self.kernel_size, 3)
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            k + (cin, self.features), jnp.float32)
+        y = conv_transpose_torch(x, kernel.astype(x.dtype), self.stride,
+                                 self.padding, self.output_padding)
+        if not self.bn:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                              jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return _NormAct(self.bn, self.relu, self.bn_momentum)(y, train)

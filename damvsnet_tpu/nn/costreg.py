@@ -1,0 +1,62 @@
+"""3-D cost-volume regularizers.
+
+CostRegNet — the CasMVSNet 3D U-Net (parity:
+/root/reference/models/module.py:510-541): three stride-2 encoder levels
+(channels x2 each), three transposed-conv decoder levels with additive
+skips, and a final 1-channel conv (no BN/ReLU/bias).
+
+Reg2d — the GeoMVSNet-style (1,3,3)-kernel regularizer
+(models/module.py:465-506): spatial-only strides, depth axis untouched.
+
+Layout: volumes are NDHWC [B, D, H, W, C].
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .blocks import Conv3dBlock, Deconv3dBlock, conv_transpose_torch
+
+
+class CostRegNet(nn.Module):
+    base_channels: int = 8
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.base_channels
+        conv0 = Conv3dBlock(c, 3, 1, padding=1)(x, train)
+        conv2 = Conv3dBlock(2 * c, 3, 2, padding=1)(conv0, train)
+        conv2 = Conv3dBlock(2 * c, 3, 1, padding=1)(conv2, train)
+        conv4 = Conv3dBlock(4 * c, 3, 2, padding=1)(conv2, train)
+        conv4 = Conv3dBlock(4 * c, 3, 1, padding=1)(conv4, train)
+        x = Conv3dBlock(8 * c, 3, 2, padding=1)(conv4, train)
+        x = Conv3dBlock(8 * c, 3, 1, padding=1)(x, train)
+        x = conv4 + Deconv3dBlock(4 * c, 3, 2, padding=1, output_padding=1)(x, train)
+        x = conv2 + Deconv3dBlock(2 * c, 3, 2, padding=1, output_padding=1)(x, train)
+        x = conv0 + Deconv3dBlock(c, 3, 2, padding=1, output_padding=1)(x, train)
+        x = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False, name="prob")(x)
+        return x  # [B, D, H, W, 1]
+
+
+class Reg2d(nn.Module):
+    """(1,3,3)-kernel pseudo-2D regularizer (depth axis preserved)."""
+    base_channels: int = 8
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.base_channels
+        k = (1, 3, 3)
+        p = (0, 1, 1)
+        s = (1, 2, 2)
+        conv0 = Conv3dBlock(c, k, 1, padding=p)(x, train)
+        conv2 = Conv3dBlock(2 * c, k, s, padding=p)(conv0, train)
+        conv2 = Conv3dBlock(2 * c, 3, 1, padding=1)(conv2, train)
+        conv4 = Conv3dBlock(4 * c, k, s, padding=p)(conv2, train)
+        conv4 = Conv3dBlock(4 * c, 3, 1, padding=1)(conv4, train)
+        x = Conv3dBlock(8 * c, k, s, padding=p)(conv4, train)
+        x = Conv3dBlock(8 * c, 3, 1, padding=1)(x, train)
+        x = conv4 + Deconv3dBlock(4 * c, k, s, padding=p, output_padding=(0, 1, 1))(x, train)
+        x = conv2 + Deconv3dBlock(2 * c, k, s, padding=p, output_padding=(0, 1, 1))(x, train)
+        x = conv0 + Deconv3dBlock(c, k, s, padding=p, output_padding=(0, 1, 1))(x, train)
+        x = nn.Conv(1, (1, 1, 1), name="prob")(x)
+        return x[..., 0]  # [B, D, H, W]

@@ -1,0 +1,7 @@
+from .mesh import (
+    make_mesh,
+    batch_sharding,
+    replicate_sharding,
+    shard_batch,
+    MeshAxes,
+)

@@ -1,0 +1,71 @@
+"""Device mesh + sharding helpers (the TPU-native replacement for the
+reference's DDP/NCCL runtime, train.py:401-479).
+
+Design (scaling-book recipe): pick a mesh, annotate shardings on the
+inputs/params, let XLA GSPMD insert the collectives.
+
+Axes:
+  * "data"  — batch / work-item parallelism (maps to the reference's DDP).
+    Gradients are reduced over it automatically by GSPMD when params are
+    replicated and the batch is sharded.
+  * "space" — spatial sharding of the image/cost-volume H axis for
+    single-sample scale-out (halo exchange for convs is inserted by GSPMD).
+    This is the TPU analog of the reference's absent sequence parallelism:
+    the cost volume's (D, H, W) extent is the long axis here (SURVEY §5).
+
+Under a single device everything degrades to no-op shardings.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshAxes:
+    data: str = "data"
+    space: str = "space"
+
+
+def make_mesh(data: int | None = None, space: int = 1,
+              devices: Sequence[jax.Device] | None = None) -> Mesh:
+    """Create a ('data', 'space') mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // space
+    assert data * space == n, f"{data}x{space} != {n} devices"
+    arr = np.asarray(devices).reshape(data, space)
+    return Mesh(arr, ("data", "space"))
+
+
+def batch_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0,
+                   space_axis: int | None = None) -> NamedSharding:
+    """Shard `batch_axis` over 'data' (and optionally one axis over 'space')."""
+    spec = [None] * ndim
+    spec[batch_axis] = "data"
+    if space_axis is not None and mesh.shape["space"] > 1:
+        spec[space_axis] = "space"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, space_axes: dict | None = None):
+    """Place a pytree batch on the mesh: leading axis over 'data'.
+
+    space_axes: optional {key_path_leaf_name: axis} to additionally shard a
+    spatial axis over 'space' (used for high-res inference).
+    """
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.device_put(x, batch_sharding(mesh, x.ndim))
+        return jax.device_put(x, replicate_sharding(mesh))
+
+    return jax.tree_util.tree_map(place, batch)

@@ -1,0 +1,131 @@
+"""The pjit training/eval step and the epoch-loop Trainer.
+
+Replaces the reference's DDP train loop (train.py:92-260) with a single
+jitted SPMD step: params replicated, batch sharded over the mesh's 'data'
+axis; GSPMD inserts the gradient all-reduce (the role of DDP/NCCL) and
+syncs BN batch statistics across shards for free (apex syncBN equivalent,
+train.py:464-470).
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..losses import cas_mvsnet_loss
+from .metrics import thres_metrics, abs_depth_error_metrics, DictAverageMeter
+from .state import TrainState, save_checkpoint
+
+
+def make_train_step(model, dlossw=(0.5, 1.0, 2.0), use_cpc: bool = True,
+                    cpc_weight: float = 12.0,
+                    mesh=None, donate: bool = True) -> Callable:
+    """Build the jitted train step: (state, batch) -> (state, metrics)."""
+
+    def loss_fn(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        outputs, mutated = model.apply(
+            variables, batch["imgs"], batch["proj_matrices"],
+            batch["depth_values"], batch.get("intrinsics_matrices"),
+            train=True, mutable=["batch_stats"])
+        total, depth_loss, cpc = cas_mvsnet_loss(
+            outputs, batch["imgs"], batch["proj_matrices"], batch["depth"],
+            batch["mask"], dlossw=dlossw, cpc_weight=cpc_weight, use_cpc=use_cpc)
+        aux = (outputs, mutated["batch_stats"], depth_loss, cpc)
+        return total, aux
+
+    def train_step(state: TrainState, batch):
+        (total, (outputs, new_bs, depth_loss, cpc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+        state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        depth_est = outputs["depth"]
+        depth_gt = batch["depth"]["stage3"]
+        mask = batch["mask"]["stage3"] > 0.5
+        metrics = {
+            "loss": total,
+            "depth_loss": depth_loss,
+            "cpc_loss": cpc,
+            "abs_depth_error": abs_depth_error_metrics(depth_est, depth_gt, mask),
+            "thres2mm_error": thres_metrics(depth_est, depth_gt, mask, 2.0),
+            "thres4mm_error": thres_metrics(depth_est, depth_gt, mask, 4.0),
+            "thres8mm_error": thres_metrics(depth_est, depth_gt, mask, 8.0),
+        }
+        return state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model, dlossw=(0.5, 1.0, 2.0)) -> Callable:
+    """Validation step (parity with test_sample_depth, train.py:263-342):
+    loss + banded threshold/abs-error metrics, no CPC, no grad."""
+
+    def eval_step(state: TrainState, batch):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        outputs = model.apply(
+            variables, batch["imgs"], batch["proj_matrices"],
+            batch["depth_values"], batch.get("intrinsics_matrices"),
+            train=False)
+        depth_est = outputs["depth"]
+        depth_gt = batch["depth"]["stage3"]
+        mask = batch["mask"]["stage3"] > 0.5
+        _, depth_loss, _ = cas_mvsnet_loss(
+            outputs, batch["imgs"], batch["proj_matrices"], batch["depth"],
+            batch["mask"], dlossw=dlossw, use_cpc=False)
+        metrics = {
+            "depth_loss": depth_loss,
+            "abs_depth_error": abs_depth_error_metrics(depth_est, depth_gt, mask),
+        }
+        for t in (2, 4, 8, 14, 20):
+            metrics[f"thres{t}mm_error"] = thres_metrics(depth_est, depth_gt, mask, float(t))
+        for lo, hi in ((0, 2.0), (2.0, 4.0), (4.0, 8.0), (8.0, 14.0),
+                       (14.0, 20.0), (20.0, 1e5)):
+            metrics[f"abserr_{lo}mm_{hi}mm"] = abs_depth_error_metrics(
+                depth_est, depth_gt, mask, (lo, hi))
+        return metrics, outputs
+
+    return jax.jit(eval_step)
+
+
+class Trainer:
+    """Epoch loop: train -> checkpoint -> eval (parity: train.py:98-172)."""
+
+    def __init__(self, model, state: TrainState, logdir: str,
+                 dlossw=(0.5, 1.0, 2.0), use_cpc: bool = True,
+                 summary_freq: int = 50, log_fn=print):
+        self.model = model
+        self.state = state
+        self.logdir = logdir
+        self.train_step = make_train_step(model, dlossw, use_cpc)
+        self.eval_step = make_eval_step(model, dlossw)
+        self.summary_freq = summary_freq
+        self.log_fn = log_fn
+
+    def train_epoch(self, batches):
+        meter = DictAverageMeter()
+        for i, batch in enumerate(batches):
+            t0 = time.time()
+            self.state, metrics = self.train_step(self.state, batch)
+            if (i + 1) % self.summary_freq == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                meter.update(metrics)
+                self.log_fn(
+                    f"epoch {self.state.epoch} iter {i} "
+                    + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+                    + f" time={time.time() - t0:.3f}s")
+            else:
+                meter.update({k: float(v) for k, v in metrics.items()})
+        self.state = self.state.replace(epoch=self.state.epoch + 1)
+        save_checkpoint(self.logdir, self.state)
+        return meter.mean()
+
+    def eval_epoch(self, batches):
+        meter = DictAverageMeter()
+        for batch in batches:
+            metrics, _ = self.eval_step(self.state, batch)
+            meter.update({k: float(v) for k, v in metrics.items()})
+        means = meter.mean()
+        self.log_fn("eval: " + " ".join(f"{k}={v:.4f}" for k, v in means.items()))
+        return means
