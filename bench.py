@@ -3,7 +3,17 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Config matches the reference DTU evaluation (BASELINE.md): 1152x864 input,
-N=5 views, ndepths=(64,32,8), adaptive aggregation + GeoFeatureFusion.
+N=5 views, ndepths=(64,32,8), adaptive aggregation + GeoFeatureFusion,
+bf16 compute (fp32 softmax/regression tail).
+
+Timing methodology: on this host the TPU is attached through a remote
+tunnel where `block_until_ready` does not actually block and host<->device
+transfers run at ~20 MB/s — so the iteration loop runs *inside* one XLA
+program (lax.fori_loop, inputs perturbed per step to prevent loop-invariant
+hoisting) and only a scalar is fetched. Per-iteration time is the
+difference between a long and a short run, cancelling the constant
+dispatch/fetch overhead.
+
 The reference repo publishes no throughput; vs_baseline is measured against
 a nominal 3.0 depth-maps/s A100-class PyTorch figure for this model family
 (BASELINE.md "north star": >= 5x that).
@@ -20,39 +30,52 @@ A100_BASELINE_MAPS_PER_SEC = 3.0
 
 def main():
     height, width, nviews, d0 = 864, 1152, 5, 192
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
-    warmup = int(os.environ.get("BENCH_WARMUP", "2"))
+    iters_long = int(os.environ.get("BENCH_ITERS", "16"))
+    iters_short = max(1, iters_long // 8)
     if os.environ.get("BENCH_SMALL"):
         height, width, nviews = 256, 320, 3
-        iters = max(2, iters // 2)
 
     import jax
+    import jax.numpy as jnp
+    from functools import partial
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _example_batch
     from damvsnet_tpu.model import CascadeMVSNet
 
-    model = CascadeMVSNet(ndepths=(64, 32, 8))
+    dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[
+        os.environ.get("BENCH_DTYPE", "bf16")]
+    model = CascadeMVSNet(ndepths=(64, 32, 8), compute_dtype=dtype)
     batch = _example_batch(batch=1, nviews=nviews, height=height, width=width,
                            d0=d0)
     variables = model.init(
         jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
         batch["depth_values"], batch["intrinsics_matrices"], train=False)
 
-    @jax.jit
-    def forward(variables, imgs, proj, dvals, intr):
-        out = model.apply(variables, imgs, proj, dvals, intr, train=False)
-        return out["depth"], out["photometric_confidence"]
+    @partial(jax.jit, static_argnames=("iters",))
+    def bench_loop(variables, imgs, proj, dvals, intr, iters):
+        def body(i, acc):
+            # per-step input perturbation prevents loop-invariant hoisting
+            out = model.apply(
+                variables, imgs + (i.astype(imgs.dtype) * 1e-6), proj,
+                dvals, intr, train=False)
+            return acc + jnp.mean(out["depth"])
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     args = (variables, batch["imgs"], batch["proj_matrices"],
             batch["depth_values"], batch["intrinsics_matrices"])
-    for _ in range(warmup):
-        d, c = forward(*args)
-        d.block_until_ready()
+
+    float(bench_loop(*args, iters=iters_short))  # compile short
+    float(bench_loop(*args, iters=iters_long))   # compile long
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        d, c = forward(*args)
-        d.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    float(bench_loop(*args, iters=iters_short))
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(bench_loop(*args, iters=iters_long))
+    t_long = time.perf_counter() - t0
+
+    dt = (t_long - t_short) / (iters_long - iters_short)
     maps_per_sec = 1.0 / dt
 
     print(json.dumps({

@@ -53,8 +53,12 @@ def build_parser():
     p.add_argument("--mesh_data", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--grad_accum", type=int, default=1)
     p.add_argument("--profile_dir", default=None,
-                   help="write a JAX profiler trace here for the first steps")
+                   help="write a JAX profiler trace here for steps 2-6")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (the TPU-side analog of "
+                        "torch detect_anomaly)")
     return p
 
 
@@ -64,11 +68,15 @@ def main(argv=None):
     import numpy as np
     import optax
 
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
     from ..data import find_dataset_def
     from ..data.common import DataLoader
     from ..model import CascadeMVSNet
-    from ..parallel import make_mesh, shard_batch
+    from ..parallel import make_mesh, shard_batch, maybe_initialize_distributed
     from ..train.loop import Trainer
+    from ..train.profiler import trace_steps
     from ..train.schedule import make_optimizer
     from ..train.state import (create_train_state, latest_checkpoint,
                                restore_checkpoint)
@@ -114,9 +122,25 @@ def main(argv=None):
         state = restore_checkpoint(args.loadckpt, state, weights_only=True)
         print(f"loaded weights from {args.loadckpt}")
 
+    maybe_initialize_distributed()
     mesh = make_mesh(data=args.mesh_data or len(jax.devices()), space=1)
     trainer = Trainer(model, state, args.logdir, dlossw=dlossw,
                       use_cpc=not args.no_cpc, summary_freq=args.summary_freq)
+    if args.grad_accum > 1:
+        from ..train.loop import make_train_step
+        trainer.train_step = make_train_step(
+            model, dlossw, not args.no_cpc, grad_accum=args.grad_accum)
+
+    if args.profile_dir:
+        # profile a few warm steps (parity intent: train.py:344-372)
+        batches = iter(train_loader)
+        warm = shard_batch(mesh, next(batches))
+        with mesh:
+            trainer.state, _ = trainer.train_step(trainer.state, warm)
+            with trace_steps(args.profile_dir):
+                for _ in range(5):
+                    trainer.state, _ = trainer.train_step(trainer.state, warm)
+        print(f"profiler trace written to {args.profile_dir}")
 
     with mesh:
         for epoch in range(state.epoch, args.epochs):

@@ -100,10 +100,22 @@ def check_geometric_consistency(depth_ref, intr_ref, ext_ref, depth_src,
 
 def filter_depth_dypcd(pair_folder, scan_folder, out_folder, plyfilename,
                        conf=(0.1, 0.15, 0.9), dist_base=0.25,
-                       rel_diff_base=1.0 / 1300, save_masks=True, log_fn=print):
-    """Fuse one scene's depth maps into a PLY (parity: dypcd.py:179-326)."""
+                       rel_diff_base=1.0 / 1300, save_masks=True,
+                       use_native=True, log_fn=print):
+    """Fuse one scene's depth maps into a PLY (parity: dypcd.py:179-326).
+
+    use_native: run the consistency round trip through the C++ kernel
+    (native/fusion.cpp) when the toolchain is available — one fused pass
+    instead of the dozen numpy temporaries; numerics identical
+    (tests/test_native.py)."""
     import cv2
     from PIL import Image
+
+    native_check = None
+    if use_native:
+        from ..native_ext import dypcd_consistency_native, get_lib
+        if get_lib() is not None:
+            native_check = dypcd_consistency_native
 
     pair_data = read_pair_file(os.path.join(pair_folder, "pair.txt"))
     vertexs = []
@@ -135,9 +147,14 @@ def filter_depth_dypcd(pair_folder, scan_folder, out_folder, plyfilename,
                 os.path.join(scan_folder, f"cams/{src_view:0>8}_cam.txt"))
             src_depth_est = read_pfm(
                 os.path.join(out_folder, f"depth_est/{src_view:0>8}.pfm"))[0]
-            masks, geo_mask, depth_reproj, _, _ = check_geometric_consistency(
-                ref_depth_est, ref_intr, ref_ext, src_depth_est, src_intr,
-                src_ext, dist_base, rel_diff_base)
+            if native_check is not None:
+                masks, geo_mask, depth_reproj = native_check(
+                    ref_depth_est, ref_intr, ref_ext, src_depth_est,
+                    src_intr, src_ext, dist_base, rel_diff_base)
+            else:
+                masks, geo_mask, depth_reproj, _, _ = check_geometric_consistency(
+                    ref_depth_est, ref_intr, ref_ext, src_depth_est, src_intr,
+                    src_ext, dist_base, rel_diff_base)
             geo_mask_sum += geo_mask.astype(np.int32)
             for i in range(2, dy_range):
                 geo_mask_sums[i - 2] += masks[i - 2].astype(np.int32)

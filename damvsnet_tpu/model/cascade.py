@@ -30,9 +30,11 @@ import jax.numpy as jnp
 
 from ..nn.aggweight import AggWeightNetVolume
 from ..nn.costreg import CostRegNet
+from ..nn.georeg import GeoRegNet2d
 from ..nn.feature import FeatureNet
 from ..nn.fmt import FMTWithPathway
 from ..nn.geofusion import GeoFeatureFusion
+from ..nn.precision import compute_dtype as compute_dtype_scope
 from ..nn.refine import RefineNet
 from ..ops.costvol import build_cost_volume
 from ..ops.regression import prob_volume_stats
@@ -61,7 +63,15 @@ class CascadeMVSNet(nn.Module):
     use_fmt: bool = False
     use_geo_fusion: bool = True
     refine: bool = False
+    reg_mode: str = "costreg"  # "costreg" (CasMVSNet 3D U-Net) |
+    # "georeg" (prob-volume-embedding GeoRegNet2d — the
+    # cas_mvsnet_embeddingProbVolme variant, encodings std/z/z)
     compute_dtype: Any = jnp.float32
+    slab_axis: str | None = None  # mesh axis name for depth-slab sharding
+    # of the cost volume (SURVEY §5): the [B, D, H, W(, C)] volumes are
+    # constrained to shard D over this axis; GSPMD inserts the halo
+    # exchanges for the regularizer's D-axis convs. Requires running
+    # under a Mesh that has the axis.
 
     @property
     def num_stage(self) -> int:
@@ -81,7 +91,15 @@ class CascadeMVSNet(nn.Module):
                 add_origin_feat_flag=True)
         if self.use_fmt:
             self.fmt_pathway = FMTWithPathway(base_channels=self.base_channels)
-        if self.share_cr:
+        assert self.reg_mode in ("costreg", "georeg")
+        if self.reg_mode == "georeg":
+            encodings = (["std"] + ["z"] * (self.num_stage - 1))
+            self.cost_regularization = [
+                GeoRegNet2d(convolutional_layer_encoding=encodings[i],
+                            name=f"geo_reg_stage{i + 1}")
+                for i in range(self.num_stage)
+            ]
+        elif self.share_cr:
             self.cost_regularization = CostRegNet(base_channels=8)
         else:
             self.cost_regularization = [
@@ -98,7 +116,7 @@ class CascadeMVSNet(nn.Module):
             self.refine_network = RefineNet()
 
     def _depth_net(self, stage_idx, features_stage, proj_stage, depth_samples,
-                   train):
+                   train, prob_volume_last=None):
         """The per-stage DepthNet core (parity: cas_mvsnet.py:18-134)."""
         fused = fuse_projection_matrices(proj_stage)  # [B, N, 4, 4]
         ref_fea = features_stage[0]
@@ -114,15 +132,38 @@ class CascadeMVSNet(nn.Module):
         volume = build_cost_volume(
             ref_fea, src_feas, ref_proj, src_projs, depth_samples,
             mode=self.agg_mode, weight_fn=weight_fn)
+        if self.slab_axis is not None:
+            from jax.sharding import PartitionSpec as P
+            volume = jax.lax.with_sharding_constraint(
+                volume, P(None, self.slab_axis))
 
-        reg = (self.cost_regularization if self.share_cr
-               else self.cost_regularization[stage_idx])
-        cost_reg = reg(volume, train)[..., 0]  # [B, D, H, W]
-        out = prob_volume_stats(cost_reg, depth_samples)
+        if self.reg_mode == "georeg":
+            cost_reg = self.cost_regularization[stage_idx](
+                volume, stage_idx, prob_volume_last, train)  # [B, D, H, W]
+        else:
+            reg = (self.cost_regularization if self.share_cr
+                   else self.cost_regularization[stage_idx])
+            cost_reg = reg(volume, train)[..., 0]  # [B, D, H, W]
+        # softmax / soft-argmin always in fp32 (mixed-precision boundary)
+        out = prob_volume_stats(cost_reg.astype(jnp.float32), depth_samples)
         out["depth_values"] = depth_samples
         return out
 
     def __call__(self, imgs, proj_matrices, depth_values,
+                 intrinsics_matrices=None, train: bool = False,
+                 edge_imgs=None):
+        # edge_imgs: accepted for interface parity with the addEdge variant
+        # (models/cas_mvsnet_addEdge.py:185-198) whose edge branch is fully
+        # commented out in the reference — it is likewise inert here.
+        dt = self.compute_dtype
+        if dt is None or dt == jnp.float32:
+            return self._forward(imgs, proj_matrices, depth_values,
+                                 intrinsics_matrices, train)
+        with compute_dtype_scope(dt):
+            return self._forward(imgs, proj_matrices, depth_values,
+                                 intrinsics_matrices, train)
+
+    def _forward(self, imgs, proj_matrices, depth_values,
                  intrinsics_matrices=None, train: bool = False):
         b, num_views, height, width, _ = imgs.shape
 
@@ -136,6 +177,7 @@ class CascadeMVSNet(nn.Module):
         exp_var = None
         depth_last = None
         confidence_last = None
+        prob_volume_last = None
         for stage_idx in range(self.num_stage):
             stage_name = f"stage{stage_idx + 1}"
             features_stage = [f[stage_name] for f in features]
@@ -179,10 +221,20 @@ class CascadeMVSNet(nn.Module):
             samples = resize_trilinear_depth(
                 samples, (self.ndepths[stage_idx], stage_h, stage_w))
 
+            pv_last_in = None
+            if self.reg_mode == "georeg" and stage_idx >= 1:
+                # previous-stage prob volume, spatially upsampled x2
+                # (parity: cas_mvsnet_embeddingProbVolme.py:314-318)
+                pv = jnp.moveaxis(prob_volume_last, 1, -1)  # [B,h,w,D]
+                pv = resize_bilinear(pv, (pv.shape[1] * 2, pv.shape[2] * 2))
+                pv_last_in = jnp.moveaxis(pv, -1, 1)
+
             outputs_stage = self._depth_net(
-                stage_idx, features_stage, proj_stage, samples, train)
+                stage_idx, features_stage, proj_stage, samples, train,
+                prob_volume_last=pv_last_in)
 
             depth = outputs_stage["depth"]
+            prob_volume_last = outputs_stage["prob_volume"]
             depth_last = outputs_stage["depth"]
             confidence_last = outputs_stage["photometric_confidence"]
             exp_var = outputs_stage["variance"]

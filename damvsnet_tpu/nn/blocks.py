@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from .precision import get_compute_dtype
+
 BN_MOMENTUM = 0.9  # == torch momentum 0.1
 BN_EPS = 1e-5
 
@@ -104,6 +106,7 @@ class Conv2dBlock(nn.Module):
             strides=_tuple(self.stride, 2),
             padding=[(pi, pi) for pi in p],
             use_bias=not self.bn,
+            dtype=get_compute_dtype(),
         )(x)
         return _NormAct(self.bn, self.relu, self.bn_momentum)(x, train)
 
@@ -127,8 +130,32 @@ class Conv3dBlock(nn.Module):
             strides=_tuple(self.stride, 3),
             padding=[(pi, pi) for pi in p],
             use_bias=not self.bn,
+            dtype=get_compute_dtype(),
         )(x)
         return _NormAct(self.bn, self.relu, self.bn_momentum)(x, train)
+
+
+class Hourglass3d(nn.Module):
+    """3-D hourglass with 1x1x1 redirect skips (parity: models/module.py:266-294)."""
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.channels
+        conv1 = Conv3dBlock(2 * c, 3, 2, padding=1, name="conv1a")(x, train)
+        conv1 = Conv3dBlock(2 * c, 3, 1, padding=1, name="conv1b")(conv1, train)
+        conv2 = Conv3dBlock(4 * c, 3, 2, padding=1, name="conv2a")(conv1, train)
+        conv2 = Conv3dBlock(4 * c, 3, 1, padding=1, name="conv2b")(conv2, train)
+        dconv2 = Deconv3dBlock(2 * c, 3, 2, padding=1, output_padding=1,
+                               relu=False, name="dconv2")(conv2, train)
+        redir2 = Conv3dBlock(2 * c, 1, 1, padding=0, relu=False,
+                             name="redir2")(conv1, train)
+        dconv2 = nn.relu(dconv2 + redir2)
+        dconv1 = Deconv3dBlock(c, 3, 2, padding=1, output_padding=1,
+                               relu=False, name="dconv1")(dconv2, train)
+        redir1 = Conv3dBlock(c, 1, 1, padding=0, relu=False,
+                             name="redir1")(x, train)
+        return nn.relu(dconv1 + redir1)
 
 
 class Deconv2dBlock(nn.Module):
@@ -149,7 +176,8 @@ class Deconv2dBlock(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             k + (cin, self.features), jnp.float32)
-        y = conv_transpose_torch(x, kernel.astype(x.dtype), self.stride,
+        cdt = get_compute_dtype() or x.dtype
+        y = conv_transpose_torch(x.astype(cdt), kernel.astype(cdt), self.stride,
                                  self.padding, self.output_padding)
         if not self.bn:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
@@ -176,7 +204,8 @@ class Deconv3dBlock(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             k + (cin, self.features), jnp.float32)
-        y = conv_transpose_torch(x, kernel.astype(x.dtype), self.stride,
+        cdt = get_compute_dtype() or x.dtype
+        y = conv_transpose_torch(x.astype(cdt), kernel.astype(cdt), self.stride,
                                  self.padding, self.output_padding)
         if not self.bn:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),

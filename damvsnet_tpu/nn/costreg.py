@@ -13,6 +13,8 @@ Layout: volumes are NDHWC [B, D, H, W, C].
 from __future__ import annotations
 
 import flax.linen as nn
+
+from .precision import get_compute_dtype
 import jax.numpy as jnp
 
 from .blocks import Conv3dBlock, Deconv3dBlock, conv_transpose_torch
@@ -34,7 +36,7 @@ class CostRegNet(nn.Module):
         x = conv4 + Deconv3dBlock(4 * c, 3, 2, padding=1, output_padding=1)(x, train)
         x = conv2 + Deconv3dBlock(2 * c, 3, 2, padding=1, output_padding=1)(x, train)
         x = conv0 + Deconv3dBlock(c, 3, 2, padding=1, output_padding=1)(x, train)
-        x = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False, name="prob")(x)
+        x = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False, dtype=get_compute_dtype(), name="prob")(x)
         return x  # [B, D, H, W, 1]
 
 
@@ -58,5 +60,5 @@ class Reg2d(nn.Module):
         x = conv4 + Deconv3dBlock(4 * c, k, s, padding=p, output_padding=(0, 1, 1))(x, train)
         x = conv2 + Deconv3dBlock(2 * c, k, s, padding=p, output_padding=(0, 1, 1))(x, train)
         x = conv0 + Deconv3dBlock(c, k, s, padding=p, output_padding=(0, 1, 1))(x, train)
-        x = nn.Conv(1, (1, 1, 1), name="prob")(x)
+        x = nn.Conv(1, (1, 1, 1), dtype=get_compute_dtype(), name="prob")(x)
         return x[..., 0]  # [B, D, H, W]

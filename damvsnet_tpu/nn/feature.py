@@ -10,6 +10,8 @@ UNet decoder (DeConv2dFuse). Outputs::
 from __future__ import annotations
 
 import flax.linen as nn
+
+from .precision import get_compute_dtype
 import jax.numpy as jnp
 
 from ..ops.resize import resize_nearest
@@ -58,20 +60,24 @@ class FeatureNet(nn.Module):
         conv2 = Conv2dBlock(4 * b, 3, 1, padding=1)(conv2, train)
 
         intra = conv2
-        outputs = {"stage1": nn.Conv(4 * b, (1, 1), use_bias=False, name="out1")(intra)}
+        outputs = {"stage1": nn.Conv(4 * b, (1, 1), use_bias=False, dtype=get_compute_dtype(), name="out1")(intra)}
 
         if self.arch_mode == "fpn":
             if self.num_stage >= 2:
-                lateral1 = nn.Conv(4 * b, (1, 1), use_bias=True, name="inner1")(conv1)
+                lateral1 = nn.Conv(4 * b, (1, 1), use_bias=True, dtype=get_compute_dtype(), name="inner1")(conv1)
                 intra = resize_nearest(intra, conv1.shape[1:3]) + lateral1
                 head2_ch = 2 * b if self.num_stage == 3 else b
                 outputs["stage2"] = nn.Conv(head2_ch, (3, 3), padding=1,
-                                            use_bias=False, name="out2")(intra)
+                                            use_bias=False,
+                                            dtype=get_compute_dtype(),
+                                            name="out2")(intra)
             if self.num_stage == 3:
-                lateral2 = nn.Conv(4 * b, (1, 1), use_bias=True, name="inner2")(conv0)
+                lateral2 = nn.Conv(4 * b, (1, 1), use_bias=True, dtype=get_compute_dtype(), name="inner2")(conv0)
                 intra = resize_nearest(intra, conv0.shape[1:3]) + lateral2
                 outputs["stage3"] = nn.Conv(b, (3, 3), padding=1,
-                                            use_bias=False, name="out3")(intra)
+                                            use_bias=False,
+                                            dtype=get_compute_dtype(),
+                                            name="out3")(intra)
         else:  # unet
             if self.num_stage >= 2:
                 intra = DeConv2dFuse(2 * b, name="deconv1")(conv1, intra, train)

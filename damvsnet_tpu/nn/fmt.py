@@ -23,6 +23,8 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+
+from .precision import get_compute_dtype
 import jax.numpy as jnp
 
 from ..ops.resize import resize_bilinear
@@ -47,11 +49,11 @@ class AttentionLayer(nn.Module):
         n, l, _ = queries.shape
         h = self.n_heads
         dk = self.d_model // h
-        q = nn.Dense(dk * h, name="query_projection")(queries).reshape(n, l, h, dk)
-        k = nn.Dense(dk * h, name="key_projection")(keys).reshape(n, keys.shape[1], h, dk)
-        v = nn.Dense(dk * h, name="value_projection")(values).reshape(n, values.shape[1], h, dk)
+        q = nn.Dense(dk * h, dtype=get_compute_dtype(), name="query_projection")(queries).reshape(n, l, h, dk)
+        k = nn.Dense(dk * h, dtype=get_compute_dtype(), name="key_projection")(keys).reshape(n, keys.shape[1], h, dk)
+        v = nn.Dense(dk * h, dtype=get_compute_dtype(), name="value_projection")(values).reshape(n, values.shape[1], h, dk)
         out = linear_attention(q, k, v).reshape(n, l, -1)
-        return nn.Dense(self.d_model, name="out_projection")(out)
+        return nn.Dense(self.d_model, dtype=get_compute_dtype(), name="out_projection")(out)
 
 
 class EncoderLayer(nn.Module):
@@ -62,9 +64,9 @@ class EncoderLayer(nn.Module):
     def __call__(self, x, source):
         x = x + AttentionLayer(self.d_model, self.n_heads)(x, source, source)
         x = nn.LayerNorm(name="norm1")(x)
-        y = nn.Dense(2 * self.d_model, name="linear1")(x)
+        y = nn.Dense(2 * self.d_model, dtype=get_compute_dtype(), name="linear1")(x)
         y = nn.relu(y)
-        y = nn.Dense(self.d_model, name="linear2")(y)
+        y = nn.Dense(self.d_model, dtype=get_compute_dtype(), name="linear2")(y)
         return nn.LayerNorm(name="norm2")(x + y)
 
 

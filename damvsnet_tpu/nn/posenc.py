@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 from functools import lru_cache
 
+import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,3 +38,35 @@ def sine_position_encoding(x: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = x.shape
     pe = jnp.asarray(_pe_np(c, h, w), dtype=x.dtype)
     return x + pe[None]
+
+
+class PositionEncodingSuperGlue(nn.Module):
+    """SuperGlue MLP keypoint encoder alternative (parity:
+    models/position_encoding.py:6-20,87-97): normalized (x, y) pixel
+    positions -> MLP [2, 32, 64, C] (1x1 convs + BN + ReLU) added to the
+    feature map. Higher memory than the sine PE; kept as a config option."""
+    d_model: int = 32
+
+    def _mlp(self, x, train):
+        for i, ch in enumerate([32, 64]):
+            x = nn.Conv(ch, (1,), name=f"mlp{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             name=f"bn{i}")(x)
+            x = nn.relu(x)
+        return nn.Conv(self.d_model, (1,), name="mlp_out",
+                       bias_init=nn.initializers.zeros)(x)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        ys = jnp.arange(1, h + 1, dtype=x.dtype)
+        xs = jnp.arange(1, w + 1, dtype=x.dtype)
+        gx, gy = jnp.meshgrid(xs, ys)  # [h, w] each, 1-based
+        kpts = jnp.stack([gx - 1, gy - 1], axis=-1).reshape(1, h * w, 2)
+        # normalize_keypoints (position_encoding.py:77-84)
+        size = jnp.asarray([w, h], dtype=x.dtype)
+        center = size / 2
+        scaling = jnp.max(size) * 0.7
+        kpts = (kpts - center) / scaling
+        enc = self._mlp(jnp.broadcast_to(kpts, (b, h * w, 2)), train)
+        return x + enc.reshape(b, h, w, self.d_model)

@@ -63,3 +63,26 @@ def uncertainty_aware_samples(cur_depth: jnp.ndarray, sigma: jnp.ndarray | None,
         return uniform_depth_samples(cur_depth, ndepth, height, width)
     assert sigma is not None
     return adaptive_depth_samples(cur_depth, sigma, ndepth)
+
+
+def get_cur_depth_range_samples(cur_depth: jnp.ndarray, ndepth: int,
+                                depth_interval_pixel) -> jnp.ndarray:
+    """Legacy CasMVSNet fixed-interval sampler for stages >= 2
+    (parity: models/module.py:911-928): uniform band of
+    ndepth * interval centered on the previous depth.
+    cur_depth [B, H, W] -> [B, D, H, W]."""
+    lo = cur_depth - ndepth / 2 * depth_interval_pixel
+    hi = cur_depth + ndepth / 2 * depth_interval_pixel
+    new_interval = (hi - lo) / (ndepth - 1)
+    i = jnp.arange(ndepth, dtype=cur_depth.dtype).reshape(1, ndepth, 1, 1)
+    return lo[:, None] + i * new_interval[:, None]
+
+
+def get_depth_range_samples(cur_depth: jnp.ndarray, ndepth: int,
+                            depth_interval_pixel, height: int,
+                            width: int) -> jnp.ndarray:
+    """Legacy dispatcher (parity: models/module.py:931-950): [B, D0] ->
+    uniform broadcast; [B, H, W] -> fixed-interval band."""
+    if cur_depth.ndim == 2:
+        return uniform_depth_samples(cur_depth, ndepth, height, width)
+    return get_cur_depth_range_samples(cur_depth, ndepth, depth_interval_pixel)

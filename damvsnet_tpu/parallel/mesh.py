@@ -31,6 +31,28 @@ class MeshAxes:
     space: str = "space"
 
 
+def maybe_initialize_distributed():
+    """Multi-host rendezvous (the reference's torchrun env:// NCCL init,
+    train.py:401-405). No-op on a single process; driven by the standard
+    JAX coordinator env vars when launched on a pod slice."""
+    import os
+    if int(os.environ.get("JAX_PROCESS_COUNT", os.environ.get("NPROC", "1"))) > 1 \
+            or os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+    return jax.process_index(), jax.process_count()
+
+
+def shard_work_items(items, process_index: int | None = None,
+                     process_count: int | None = None):
+    """Scan/ref-view work-item sharding across hosts for inference
+    (SURVEY §2.7 "scan-parallel"): host i takes items[i::n]."""
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    return list(items)[process_index::process_count]
+
+
 def make_mesh(data: int | None = None, space: int = 1,
               devices: Sequence[jax.Device] | None = None) -> Mesh:
     """Create a ('data', 'space') mesh over the available devices."""

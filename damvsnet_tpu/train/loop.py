@@ -15,14 +15,21 @@ import jax
 import jax.numpy as jnp
 
 from ..losses import cas_mvsnet_loss
+from .logging import SummaryWriter
 from .metrics import thres_metrics, abs_depth_error_metrics, DictAverageMeter
 from .state import TrainState, save_checkpoint
 
 
 def make_train_step(model, dlossw=(0.5, 1.0, 2.0), use_cpc: bool = True,
                     cpc_weight: float = 12.0,
-                    mesh=None, donate: bool = True) -> Callable:
-    """Build the jitted train step: (state, batch) -> (state, metrics)."""
+                    mesh=None, donate: bool = True,
+                    grad_accum: int = 1) -> Callable:
+    """Build the jitted train step: (state, batch) -> (state, metrics).
+
+    grad_accum > 1: the batch's leading axis is split into that many
+    microbatches whose gradients are averaged before the update (reference
+    has no accumulation — SURVEY §2.7 lists it as the TPU-side extension
+    for memory-bound large-batch runs)."""
 
     def loss_fn(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -36,9 +43,35 @@ def make_train_step(model, dlossw=(0.5, 1.0, 2.0), use_cpc: bool = True,
         aux = (outputs, mutated["batch_stats"], depth_loss, cpc)
         return total, aux
 
+    def accum_grads(state, batch):
+        if grad_accum <= 1:
+            return jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, batch)
+
+        def microbatch(mb):
+            return jax.tree_util.tree_map(
+                lambda x: x.reshape((grad_accum, -1) + x.shape[1:]), mb)
+
+        mbs = microbatch(batch)
+
+        def body(carry, mb):
+            acc_grads, acc_loss, bs, _, _ = carry
+            (total, (outputs, new_bs, dl, cpc)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, bs, mb)
+            acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+            return (acc_grads, acc_loss + total, new_bs, dl, cpc), outputs
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (grads, total, new_bs, dl, cpc), outputs = jax.lax.scan(
+            body, (zeros, jnp.float32(0.0), state.batch_stats, 0.0, 0.0), mbs)
+        grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
+        outputs = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), outputs)
+        return (total / grad_accum, (outputs, new_bs, dl, cpc)), grads
+
     def train_step(state: TrainState, batch):
-        (total, (outputs, new_bs, depth_loss, cpc)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+        (total, (outputs, new_bs, depth_loss, cpc)), grads = accum_grads(
+            state, batch)
         state = state.apply_gradients(grads, new_batch_stats=new_bs)
         depth_est = outputs["depth"]
         depth_gt = batch["depth"]["stage3"]
@@ -94,7 +127,7 @@ class Trainer:
 
     def __init__(self, model, state: TrainState, logdir: str,
                  dlossw=(0.5, 1.0, 2.0), use_cpc: bool = True,
-                 summary_freq: int = 50, log_fn=print):
+                 summary_freq: int = 50, log_fn=print, max_keep=None):
         self.model = model
         self.state = state
         self.logdir = logdir
@@ -102,6 +135,8 @@ class Trainer:
         self.eval_step = make_eval_step(model, dlossw)
         self.summary_freq = summary_freq
         self.log_fn = log_fn
+        self.max_keep = max_keep
+        self.writer = SummaryWriter(logdir)
 
     def train_epoch(self, batches):
         meter = DictAverageMeter()
@@ -111,6 +146,7 @@ class Trainer:
             if (i + 1) % self.summary_freq == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 meter.update(metrics)
+                self.writer.add_scalars("train", metrics, int(self.state.step))
                 self.log_fn(
                     f"epoch {self.state.epoch} iter {i} "
                     + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
@@ -118,8 +154,10 @@ class Trainer:
             else:
                 meter.update({k: float(v) for k, v in metrics.items()})
         self.state = self.state.replace(epoch=self.state.epoch + 1)
-        save_checkpoint(self.logdir, self.state)
-        return meter.mean()
+        save_checkpoint(self.logdir, self.state, max_keep=self.max_keep)
+        means = meter.mean()
+        self.writer.add_scalars("train_epoch", means, int(self.state.step))
+        return means
 
     def eval_epoch(self, batches):
         meter = DictAverageMeter()
@@ -127,5 +165,6 @@ class Trainer:
             metrics, _ = self.eval_step(self.state, batch)
             meter.update({k: float(v) for k, v in metrics.items()})
         means = meter.mean()
+        self.writer.add_scalars("eval", means, int(self.state.step))
         self.log_fn("eval: " + " ".join(f"{k}={v:.4f}" for k, v in means.items()))
         return means

@@ -54,8 +54,12 @@ def _ckpt_dir(logdir: str, epoch: int) -> str:
     return os.path.abspath(os.path.join(logdir, f"ckpt_{epoch:06d}"))
 
 
-def save_checkpoint(logdir: str, state: TrainState):
-    """Save {params, batch_stats, opt_state, step, epoch} for this epoch."""
+def save_checkpoint(logdir: str, state: TrainState, max_keep: int | None = None):
+    """Save {params, batch_stats, opt_state, step, epoch} for this epoch.
+
+    max_keep: optional rotation — delete oldest checkpoints beyond this
+    count (the utilsme/io_utils.py:157-191 save_model semantics).
+    """
     path = _ckpt_dir(logdir, state.epoch)
     ckptr = ocp.PyTreeCheckpointer()
     payload = {
@@ -66,6 +70,12 @@ def save_checkpoint(logdir: str, state: TrainState):
         "epoch": int(state.epoch),
     }
     ckptr.save(path, payload, force=True)
+    if max_keep is not None:
+        import shutil
+        cands = sorted(d for d in os.listdir(logdir)
+                       if re.fullmatch(r"ckpt_\d{6}", d))
+        for stale in cands[:-max_keep]:
+            shutil.rmtree(os.path.join(logdir, stale), ignore_errors=True)
     return path
 
 
