@@ -51,28 +51,33 @@ def main():
         jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
         batch["depth_values"], batch["intrinsics_matrices"], train=False)
 
-    @partial(jax.jit, static_argnames=("iters",))
+    @jax.jit
     def bench_loop(variables, imgs, proj, dvals, intr, iters):
-        def body(i, acc):
+        # dynamic trip count => ONE compiled program for both run lengths
+        def cond(carry):
+            i, acc = carry
+            return i < iters
+
+        def body(carry):
+            i, acc = carry
             # per-step input perturbation prevents loop-invariant hoisting
             out = model.apply(
                 variables, imgs + (i.astype(imgs.dtype) * 1e-6), proj,
                 dvals, intr, train=False)
-            return acc + jnp.mean(out["depth"])
+            return i + 1, acc + jnp.mean(out["depth"])
 
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+        return jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(0.0)))[1]
 
     args = (variables, batch["imgs"], batch["proj_matrices"],
             batch["depth_values"], batch["intrinsics_matrices"])
 
-    float(bench_loop(*args, iters=iters_short))  # compile short
-    float(bench_loop(*args, iters=iters_long))   # compile long
+    float(bench_loop(*args, jnp.int32(1)))  # compile + warm
 
     t0 = time.perf_counter()
-    float(bench_loop(*args, iters=iters_short))
+    float(bench_loop(*args, jnp.int32(iters_short)))
     t_short = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(bench_loop(*args, iters=iters_long))
+    float(bench_loop(*args, jnp.int32(iters_long)))
     t_long = time.perf_counter() - t0
 
     dt = (t_long - t_short) / (iters_long - iters_short)

@@ -27,17 +27,20 @@ def depth_regression(p: jnp.ndarray, depth_values: jnp.ndarray) -> jnp.ndarray:
 
 
 def photometric_confidence(prob_volume: jnp.ndarray) -> jnp.ndarray:
-    """4-tap window sum gathered at the soft argmax index (no gradient)."""
+    """4-tap window sum gathered at the soft argmax index (no gradient).
+
+    The gather is re-expressed as a masked reduction (gathers are
+    per-index-overhead-bound on TPU, PERF.md):
+    sum4[idx] == sum_d p[d] * 1[idx-1 <= d <= idx+2] — identical values.
+    """
     prob_volume = jax.lax.stop_gradient(prob_volume)
     b, d, h, w = prob_volume.shape
-    padded = jnp.pad(prob_volume, ((0, 0), (1, 2), (0, 0), (0, 0)))
-    # sliding sum of 4 along D: sum4[k] = p[k-1] + p[k] + p[k+1] + p[k+2]
-    csum = jnp.cumsum(padded, axis=1)
-    csum = jnp.pad(csum, ((0, 0), (1, 0), (0, 0), (0, 0)))
-    sum4 = csum[:, 4:, :, :] - csum[:, :-4, :, :]  # [B, D, H, W]
-    idx_f = jnp.sum(prob_volume * jnp.arange(d, dtype=prob_volume.dtype)[None, :, None, None], axis=1)
-    idx = jnp.clip(idx_f.astype(jnp.int32), 0, d - 1)  # trunc toward zero, matches .long()
-    return jnp.take_along_axis(sum4, idx[:, None, :, :], axis=1)[:, 0]
+    d_iota = jnp.arange(d, dtype=prob_volume.dtype)[None, :, None, None]
+    idx_f = jnp.sum(prob_volume * d_iota, axis=1)
+    idx = jnp.clip(idx_f.astype(jnp.int32), 0, d - 1)  # trunc, matches .long()
+    idx = idx[:, None].astype(prob_volume.dtype)
+    window = ((d_iota >= idx - 1) & (d_iota <= idx + 2)).astype(prob_volume.dtype)
+    return jnp.sum(prob_volume * window, axis=1)
 
 
 def prob_volume_stats(prob_volume_pre: jnp.ndarray, depth_values: jnp.ndarray):
