@@ -67,6 +67,9 @@ class CascadeMVSNet(nn.Module):
     # "georeg" (prob-volume-embedding GeoRegNet2d — the
     # cas_mvsnet_embeddingProbVolme variant, encodings std/z/z)
     compute_dtype: Any = jnp.float32
+    sampler: str = "auto"  # plane-sweep sampler: "xla" (gather,
+    # differentiable) | "pallas" (banded one-hot-matmul TPU kernel) |
+    # "auto" (pallas at inference on TPU, xla otherwise/when training)
     slab_axis: str | None = None  # mesh axis name for depth-slab sharding
     # of the cost volume (SURVEY §5): the [B, D, H, W(, C)] volumes are
     # constrained to shard D over this axis; GSPMD inserts the halo
@@ -129,9 +132,11 @@ class CascadeMVSNet(nn.Module):
             wnet = self.weight_nets[stage_idx]
             weight_fn = lambda vol: wnet(vol, train)
 
+        # the pallas sampler has no VJP — training always takes the XLA path
+        sampler = "xla" if (train and self.sampler != "xla") else self.sampler
         volume = build_cost_volume(
             ref_fea, src_feas, ref_proj, src_projs, depth_samples,
-            mode=self.agg_mode, weight_fn=weight_fn)
+            mode=self.agg_mode, weight_fn=weight_fn, sampler=sampler)
         if self.slab_axis is not None:
             from jax.sharding import PartitionSpec as P
             volume = jax.lax.with_sharding_constraint(

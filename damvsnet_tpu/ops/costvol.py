@@ -23,7 +23,7 @@ from typing import Callable, Sequence
 
 import jax.numpy as jnp
 
-from .warp import plane_sweep_warp
+from .warp import pallas_sampler_supported, plane_sweep_warp
 
 
 def build_cost_volume(
@@ -35,10 +35,17 @@ def build_cost_volume(
     mode: str = "adaptive",
     weight_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
     align_corners: bool = False,
+    sampler: str = "xla",
 ) -> jnp.ndarray:
     """ref_fea [B,H,W,C]; src_feas: list of [B,H,W,C]; projs fused [B,4,4];
-    depth_values [B,D] or [B,D,H,W]. Returns [B,D,H,W,C]."""
+    depth_values [B,D] or [B,D,H,W]. Returns [B,D,H,W,C].
+
+    sampler: "xla" | "pallas" | "auto" — "auto" picks the banded Pallas TPU
+    sampler when supported (it is inference-only; training passes "xla").
+    """
     assert mode in ("variance", "adaptive"), mode
+    if sampler == "auto":
+        sampler = "pallas" if pallas_sampler_supported(ref_fea) else "xla"
     num_views = len(src_feas) + 1
     ref_volume = ref_fea[:, None]  # [B,1,H,W,C], broadcasts over D
 
@@ -47,7 +54,7 @@ def build_cost_volume(
         vol_sq_sum = None
         for src_fea, src_proj in zip(src_feas, src_projs):
             warped = plane_sweep_warp(src_fea, src_proj, ref_proj, depth_values,
-                                      align_corners)
+                                      align_corners, sampler=sampler)
             if vol_sum is None:
                 d = warped.shape[1]
                 ref_b = jnp.broadcast_to(ref_volume, warped.shape)
@@ -62,7 +69,7 @@ def build_cost_volume(
     vol_adapt = None
     for src_fea, src_proj in zip(src_feas, src_projs):
         warped = plane_sweep_warp(src_fea, src_proj, ref_proj, depth_values,
-                                  align_corners)
+                                  align_corners, sampler=sampler)
         diff_sq = (ref_volume - warped) ** 2  # [B,D,H,W,C]
         weight = weight_fn(diff_sq)  # [B,D,H,W,1]
         contrib = (weight + 1.0) * diff_sq

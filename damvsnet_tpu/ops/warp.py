@@ -109,14 +109,30 @@ def plane_sweep_grid(src_proj: jnp.ndarray, ref_proj: jnp.ndarray,
     return px, py
 
 
+def pallas_sampler_supported(src_fea: jnp.ndarray) -> bool:
+    """Whether the banded Pallas sampler can handle this call on this
+    backend. It is inference-only (no VJP) — callers pick it for eval."""
+    c = src_fea.shape[-1]
+    return (jax.default_backend() == "tpu" and 128 % c == 0
+            and src_fea.dtype in (jnp.float32, jnp.bfloat16))
+
+
 def plane_sweep_warp(src_fea: jnp.ndarray, src_proj: jnp.ndarray,
                      ref_proj: jnp.ndarray, depth_values: jnp.ndarray,
-                     align_corners: bool = False) -> jnp.ndarray:
+                     align_corners: bool = False,
+                     sampler: str = "xla") -> jnp.ndarray:
     """Warp source features over depth hypotheses into the reference frustum.
 
     src_fea: [B, H, W, C]; src_proj/ref_proj: [B, 4, 4] fused matrices;
     depth_values: [B, D] or [B, D, H, W]. Returns [B, D, H, W, C].
+
+    sampler: "xla" (gather-based, differentiable) or "pallas" (banded
+    one-hot-matmul TPU kernel, inference-only — see ops/pallas/sweep_sampler).
     """
+    if sampler == "pallas":
+        from .pallas.sweep_sampler import plane_sweep_warp_pallas
+        return plane_sweep_warp_pallas(src_fea, src_proj, ref_proj,
+                                       depth_values, align_corners)
     _, h, w, _ = src_fea.shape
     px, py = plane_sweep_grid(src_proj, ref_proj, depth_values, h, w, align_corners)
     px = jax.lax.stop_gradient(px)
