@@ -13,8 +13,11 @@ The primary DTU/TnT fusion path. Numerics parity with
   * fused depth = mean of accepted reprojected depths (incl. ref).
   * masked pixels backproject to a colored world-frame PLY.
 
-This host implementation is vectorized numpy per (ref, src) pair; a
-TPU-batched variant lives in fusion_tpu.py.
+Backend order: the fused C++ consistency pass (native/fusion.cpp) is the
+primary host path (used automatically when the toolchain built it); the
+device-batched TPU fusion lives in fusion_tpu.py; the numpy functions in
+this file are the numerics-parity oracle both are tested against
+(tests/test_native.py, tests/test_fusion.py) and the portable fallback.
 """
 from __future__ import annotations
 
@@ -41,61 +44,84 @@ def read_camera_parameters(filename):
 
 def reproject_with_depth(depth_ref, intr_ref, ext_ref, depth_src, intr_src,
                          ext_src):
-    """Round-trip reprojection (parity: filter/dypcd.py:98-136)."""
-    import cv2
-    height, width = depth_ref.shape
-    x_ref, y_ref = np.meshgrid(np.arange(width), np.arange(height))
-    x_ref, y_ref = x_ref.reshape(-1), y_ref.reshape(-1)
-    xyz_ref = np.matmul(
-        np.linalg.inv(intr_ref),
-        np.vstack((x_ref, y_ref, np.ones_like(x_ref))) * depth_ref.reshape(-1))
-    xyz_src = np.matmul(
-        np.matmul(ext_src, np.linalg.inv(ext_ref)),
-        np.vstack((xyz_ref, np.ones_like(x_ref))))[:3]
-    k_xyz_src = np.matmul(intr_src, xyz_src)
-    xy_src = k_xyz_src[:2] / k_xyz_src[2:3]
+    """Round-trip reprojection: ref depth -> src view -> back to ref.
 
-    x_src = xy_src[0].reshape(height, width).astype(np.float32)
-    y_src = xy_src[1].reshape(height, width).astype(np.float32)
+    PROVENANCE / ROLE: this is the numerics-parity *oracle* for the two
+    primary fusion backends — the fused C++ pass (native/fusion.cpp,
+    checked against this in tests/test_native.py) and the device-batched
+    TPU fusion (fusion_tpu.py). It reproduces the classic open-source
+    MVSNet consistency round trip (semantics of filter/dypcd.py:98-136)
+    but is organized around composed camera-to-camera maps applied to
+    (H, W, 3) pixel-ray arrays: one 4x4 `src<-ref` / `ref<-src` transform
+    per direction, row-vector einsum form, float64 throughout the
+    geometry (the promotion the reference gets implicitly), f32 only at
+    the cv2.remap boundary and the returned maps.
+    """
+    import cv2
+    h, w = depth_ref.shape
+    # homogeneous pixel rays of the ref view, (H, W, 3)
+    yy, xx = np.mgrid[0:h, 0:w]
+    rays_ref = np.stack([xx, yy, np.ones_like(xx)], axis=-1).astype(np.float64)
+
+    # composed camera-to-camera rigid maps (4x4), one per direction
+    ext_ref64 = ext_ref.astype(np.float64)
+    ext_src64 = ext_src.astype(np.float64)
+    src_from_ref = ext_src64 @ np.linalg.inv(ext_ref64)
+    ref_from_src = ext_ref64 @ np.linalg.inv(ext_src64)
+    kinv_ref = np.linalg.inv(intr_ref.astype(np.float64))
+    kinv_src = np.linalg.inv(intr_src.astype(np.float64))
+
+    def transform(points, rigid):  # (H,W,3) cam points through a 4x4
+        return points @ rigid[:3, :3].T + rigid[:3, 3]
+
+    # leg 1: ref pixels at estimated depth -> src camera -> src pixels
+    cam_ref = (rays_ref @ kinv_ref.T) * depth_ref[..., None]
+    pix_src = transform(cam_ref, src_from_ref) @ intr_src.astype(np.float64).T
+    xy_src = pix_src[..., :2] / pix_src[..., 2:3]
+    x_src = xy_src[..., 0].astype(np.float32)
+    y_src = xy_src[..., 1].astype(np.float32)
     sampled_depth_src = cv2.remap(depth_src, x_src, y_src,
                                   interpolation=cv2.INTER_LINEAR)
 
-    xyz_src2 = np.matmul(
-        np.linalg.inv(intr_src),
-        np.vstack((xy_src, np.ones_like(x_ref))) * sampled_depth_src.reshape(-1))
-    xyz_reproj = np.matmul(
-        np.matmul(ext_ref, np.linalg.inv(ext_src)),
-        np.vstack((xyz_src2, np.ones_like(x_ref))))[:3]
-    depth_reproj = xyz_reproj[2].reshape(height, width).astype(np.float32)
-    k_xyz_reproj = np.matmul(intr_ref, xyz_reproj)
-    k_xyz_reproj[2:3][k_xyz_reproj[2:3] == 0] += 0.00001
-    xy_reproj = k_xyz_reproj[:2] / k_xyz_reproj[2:3]
-    x_reproj = xy_reproj[0].reshape(height, width).astype(np.float32)
-    y_reproj = xy_reproj[1].reshape(height, width).astype(np.float32)
+    # leg 2: those src pixels at the *source's* estimated depth -> ref
+    rays_src = np.concatenate([xy_src, np.ones((h, w, 1))], axis=-1)
+    cam_src = (rays_src @ kinv_src.T) * sampled_depth_src[..., None].astype(np.float64)
+    cam_reproj = transform(cam_src, ref_from_src)
+    depth_reproj = cam_reproj[..., 2].astype(np.float32)
+    pix_reproj = cam_reproj @ intr_ref.astype(np.float64).T
+    z = pix_reproj[..., 2:3]
+    z[z == 0] += 0.00001  # the reference's guard against division by zero
+    xy_reproj = pix_reproj[..., :2] / z
+    x_reproj = xy_reproj[..., 0].astype(np.float32)
+    y_reproj = xy_reproj[..., 1].astype(np.float32)
     return depth_reproj, x_reproj, y_reproj, x_src, y_src
 
 
 def check_geometric_consistency(depth_ref, intr_ref, ext_ref, depth_src,
                                 intr_src, ext_src, dist_base=0.25,
                                 rel_diff_base=1.0 / 1300):
-    """Dynamic-threshold consistency masks (parity: filter/dypcd.py:139-159)."""
-    height, width = depth_ref.shape
-    x_ref, y_ref = np.meshgrid(np.arange(width), np.arange(height))
+    """Dynamic-threshold consistency masks (semantics: dypcd.py:139-159).
+
+    All nine thresholds i in [2, 11) are evaluated at once on a stacked
+    [9, H, W] comparison; mask i passes where reprojection error
+    < i*dist_base px AND relative depth difference < i*rel_diff_base.
+    Parity oracle for the native/TPU backends (see reproject_with_depth).
+    """
+    h, w = depth_ref.shape
     depth_reproj, x2d_reproj, y2d_reproj, x2d_src, y2d_src = \
         reproject_with_depth(depth_ref, intr_ref, ext_ref, depth_src,
                              intr_src, ext_src)
-    dist = np.sqrt((x2d_reproj - x_ref) ** 2 + (y2d_reproj - y_ref) ** 2)
-    depth_diff = np.abs(depth_reproj - depth_ref)
-    relative_depth_diff = depth_diff / depth_ref
+    yy, xx = np.mgrid[0:h, 0:w]
+    dist = np.hypot(x2d_reproj - xx, y2d_reproj - yy)
+    rel_diff = np.abs(depth_reproj - depth_ref) / depth_ref
 
-    masks = []
-    mask = None
-    for i in range(2, 11):
-        mask = np.logical_and(dist < i * dist_base,
-                              relative_depth_diff < i * rel_diff_base)
-        masks.append(mask)
-    depth_reproj[~mask] = 0
-    return masks, mask, depth_reproj, x2d_src, y2d_src
+    thr = np.arange(2, 11, dtype=np.float64)[:, None, None]
+    mask_stack = (dist[None] < thr * dist_base) \
+        & (rel_diff[None] < thr * rel_diff_base)
+    masks = list(mask_stack)
+    geo_mask = masks[-1]
+    depth_reproj = np.where(geo_mask, depth_reproj, 0.0).astype(np.float32)
+    return masks, geo_mask, depth_reproj, x2d_src, y2d_src
 
 
 def filter_depth_dypcd(pair_folder, scan_folder, out_folder, plyfilename,

@@ -19,23 +19,50 @@ from ..data.common import DataLoader
 
 
 class DepthRunner:
-    """Jitted forward wrapper: (variables, batch) -> stage outputs."""
+    """Jitted forward wrapper: (variables, batch) -> stage outputs.
 
-    def __init__(self, model, variables):
+    Safety net for the banded Pallas sampler: if the forward reports
+    ``sampler_overflow`` (a stage dropped out-of-window bilinear taps —
+    degraded cost-volume values), the batch is transparently redone with
+    the model's XLA gather sampler, which has no window constraint. The
+    XLA forward is compiled lazily, only on first overflow.
+    """
+
+    def __init__(self, model, variables, log_fn=print):
         self.model = model
         self.variables = variables
+        self.log_fn = log_fn
+        self.overflow_batches = 0
 
         def forward(variables, imgs, proj_matrices, depth_values, intrinsics):
             return model.apply(variables, imgs, proj_matrices, depth_values,
                                intrinsics, train=False)
 
         self._forward = jax.jit(forward)
+        self._forward_xla = None
+
+    def _xla_forward(self):
+        if self._forward_xla is None:
+            fallback = self.model.clone(sampler="xla")
+
+            def forward(variables, imgs, proj_matrices, depth_values, intrinsics):
+                return fallback.apply(variables, imgs, proj_matrices,
+                                      depth_values, intrinsics, train=False)
+
+            self._forward_xla = jax.jit(forward)
+        return self._forward_xla
 
     def __call__(self, batch):
-        out = self._forward(
-            self.variables, batch["imgs"], batch["proj_matrices"],
-            batch["depth_values"], batch.get("intrinsics_matrices"))
-        return jax.device_get(out)
+        args = (self.variables, batch["imgs"], batch["proj_matrices"],
+                batch["depth_values"], batch.get("intrinsics_matrices"))
+        out = jax.device_get(self._forward(*args))
+        if self.model.sampler != "xla" and int(out.get("sampler_overflow", 0)):
+            self.overflow_batches += 1
+            self.log_fn("warning: banded sampler window overflow "
+                        f"({int(out['sampler_overflow'])} stage(s)) — "
+                        "redoing batch with the XLA sampler")
+            out = jax.device_get(self._xla_forward()(*args))
+        return out
 
 
 def _upsample_nearest_np(img, out_hw):

@@ -70,6 +70,10 @@ class CascadeMVSNet(nn.Module):
     sampler: str = "auto"  # plane-sweep sampler: "xla" (gather,
     # differentiable) | "pallas" (banded one-hot-matmul TPU kernel) |
     # "auto" (pallas at inference on TPU, xla otherwise/when training)
+    sampler_opts: Any = None  # optional dict forwarded to the pallas
+    # sampler (wb, band_rows, lookahead, interpret); the per-stage
+    # dropped-taps flag is surfaced as outputs["sampler_overflow"] so
+    # callers (infer/runner.py) can detect and redo with the XLA path
     slab_axis: str | None = None  # mesh axis name for depth-slab sharding
     # of the cost volume (SURVEY §5): the [B, D, H, W(, C)] volumes are
     # constrained to shard D over this axis; GSPMD inserts the halo
@@ -134,9 +138,26 @@ class CascadeMVSNet(nn.Module):
 
         # the pallas sampler has no VJP — training always takes the XLA path
         sampler = "xla" if (train and self.sampler != "xla") else self.sampler
-        volume = build_cost_volume(
-            ref_fea, src_feas, ref_proj, src_projs, depth_samples,
-            mode=self.agg_mode, weight_fn=weight_fn, sampler=sampler)
+        if sampler == "auto":
+            from ..ops.warp import pallas_sampler_supported
+            sampler = "pallas" if pallas_sampler_supported(ref_fea) else "xla"
+        if (sampler == "pallas" and self.agg_mode == "adaptive"
+                and not train and not self.is_initializing()):
+            # fully fused TPU path: warp + diff^2 + folded AggWeightNet +
+            # view accumulation in one kernel — per-view volumes never
+            # reach HBM (ops/pallas/fused_costvol.py)
+            from ..nn.aggweight import fold_aggweight
+            from ..ops.pallas.fused_costvol import fused_adaptive_cost_volume
+            w1, b1, w2, b2 = fold_aggweight(
+                self.weight_nets[stage_idx].variables)
+            volume, overflow = fused_adaptive_cost_volume(
+                ref_fea, src_feas, ref_proj, src_projs, depth_samples,
+                w1, b1, w2, b2, **(self.sampler_opts or {}))
+        else:
+            volume, overflow = build_cost_volume(
+                ref_fea, src_feas, ref_proj, src_projs, depth_samples,
+                mode=self.agg_mode, weight_fn=weight_fn, sampler=sampler,
+                sampler_opts=self.sampler_opts, return_overflow=True)
         if self.slab_axis is not None:
             from jax.sharding import PartitionSpec as P
             volume = jax.lax.with_sharding_constraint(
@@ -152,6 +173,7 @@ class CascadeMVSNet(nn.Module):
         # softmax / soft-argmin always in fp32 (mixed-precision boundary)
         out = prob_volume_stats(cost_reg.astype(jnp.float32), depth_samples)
         out["depth_values"] = depth_samples
+        out["sampler_overflow"] = overflow[0, 0]
         return out
 
     def __call__(self, imgs, proj_matrices, depth_values,
@@ -246,6 +268,11 @@ class CascadeMVSNet(nn.Module):
 
             outputs[stage_name] = outputs_stage
             outputs.update(outputs_stage)
+
+        # count of stages whose banded sampler dropped taps (0 on XLA path)
+        outputs["sampler_overflow"] = sum(
+            outputs[f"stage{i + 1}"]["sampler_overflow"]
+            for i in range(self.num_stage))
 
         if self.refine:
             outputs["refined_depth"] = self.refine_network(imgs[:, 0], depth, train)

@@ -9,8 +9,9 @@ omitted here.)
 from __future__ import annotations
 
 import flax.linen as nn
+import jax.numpy as jnp
 
-from .blocks import Conv3dBlock
+from .blocks import BN_EPS, Conv3dBlock
 
 
 class AggWeightNetVolume(nn.Module):
@@ -20,6 +21,34 @@ class AggWeightNetVolume(nn.Module):
         w = Conv3dBlock(1, kernel_size=1, stride=1, padding=0)(x, train)
         w = Conv3dBlock(1, kernel_size=1, stride=1, padding=0)(w, train)
         return w
+
+
+def fold_aggweight(variables):
+    """Collapse an AggWeightNetVolume into its inference affine form.
+
+    Both stages are 1x1x1 convs, so with BN running statistics folded in
+    the whole net is  w(x) = relu(w2 * relu(x @ w1 + b1) + b2)  — the form
+    the fused Pallas cost-volume kernel (ops/pallas/fused_costvol.py)
+    evaluates per voxel. ``variables`` is the bound submodule's variable
+    dict ({"params": ..., "batch_stats": ...}).
+
+    Returns (w1 [C] f32, b1, w2, b2 scalars f32).
+    """
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def fold(block):
+        kernel = params[block]["Conv_0"]["kernel"]  # [1,1,1,Cin,1]
+        bn_p = params[block]["_NormAct_0"]["BatchNorm_0"]
+        bn_s = stats[block]["_NormAct_0"]["BatchNorm_0"]
+        s = bn_p["scale"] / jnp.sqrt(bn_s["var"] + BN_EPS)  # [1]
+        t = bn_p["bias"] - bn_s["mean"] * s  # [1]
+        return (kernel[0, 0, 0, :, 0] * s[0]).astype(jnp.float32), \
+            t[0].astype(jnp.float32)
+
+    w1, b1 = fold("Conv3dBlock_0")
+    w2, b2 = fold("Conv3dBlock_1")
+    return w1, b1, w2[0], b2
 
 
 class AggWeightNetVolume2(nn.Module):

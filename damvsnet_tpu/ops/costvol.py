@@ -36,9 +36,13 @@ def build_cost_volume(
     weight_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
     align_corners: bool = False,
     sampler: str = "xla",
-) -> jnp.ndarray:
+    sampler_opts: dict | None = None,
+    return_overflow: bool = False,
+):
     """ref_fea [B,H,W,C]; src_feas: list of [B,H,W,C]; projs fused [B,4,4];
-    depth_values [B,D] or [B,D,H,W]. Returns [B,D,H,W,C].
+    depth_values [B,D] or [B,D,H,W]. Returns [B,D,H,W,C]; with
+    ``return_overflow``, (volume, overflow [1,1] i32) — the OR over all
+    source views of the banded sampler's dropped-taps flag (0 on XLA path).
 
     sampler: "xla" | "pallas" | "auto" — "auto" picks the banded Pallas TPU
     sampler when supported (it is inference-only; training passes "xla").
@@ -48,30 +52,38 @@ def build_cost_volume(
         sampler = "pallas" if pallas_sampler_supported(ref_fea) else "xla"
     num_views = len(src_feas) + 1
     ref_volume = ref_fea[:, None]  # [B,1,H,W,C], broadcasts over D
+    overflow = jnp.zeros((1, 1), jnp.int32)
+
+    def warp(src_fea, src_proj):
+        return plane_sweep_warp(src_fea, src_proj, ref_proj, depth_values,
+                                align_corners, sampler=sampler,
+                                sampler_opts=sampler_opts,
+                                return_overflow=True)
 
     if mode == "variance":
         vol_sum = None
         vol_sq_sum = None
         for src_fea, src_proj in zip(src_feas, src_projs):
-            warped = plane_sweep_warp(src_fea, src_proj, ref_proj, depth_values,
-                                      align_corners, sampler=sampler)
+            warped, of = warp(src_fea, src_proj)
+            overflow = overflow | of
             if vol_sum is None:
-                d = warped.shape[1]
                 ref_b = jnp.broadcast_to(ref_volume, warped.shape)
                 vol_sum = ref_b + warped
                 vol_sq_sum = ref_b ** 2 + warped ** 2
             else:
                 vol_sum = vol_sum + warped
                 vol_sq_sum = vol_sq_sum + warped ** 2
-        return vol_sq_sum / num_views - (vol_sum / num_views) ** 2
+        out = vol_sq_sum / num_views - (vol_sum / num_views) ** 2
+        return (out, overflow) if return_overflow else out
 
     assert weight_fn is not None, "adaptive mode needs the AggWeightNet apply fn"
     vol_adapt = None
     for src_fea, src_proj in zip(src_feas, src_projs):
-        warped = plane_sweep_warp(src_fea, src_proj, ref_proj, depth_values,
-                                  align_corners, sampler=sampler)
+        warped, of = warp(src_fea, src_proj)
+        overflow = overflow | of
         diff_sq = (ref_volume - warped) ** 2  # [B,D,H,W,C]
         weight = weight_fn(diff_sq)  # [B,D,H,W,1]
         contrib = (weight + 1.0) * diff_sq
         vol_adapt = contrib if vol_adapt is None else vol_adapt + contrib
-    return vol_adapt / (num_views - 1)
+    out = vol_adapt / (num_views - 1)
+    return (out, overflow) if return_overflow else out

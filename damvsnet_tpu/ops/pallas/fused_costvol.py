@@ -1,0 +1,337 @@
+"""Pallas TPU kernel: fused adaptive cost-volume construction.
+
+Extends the banded plane-sweep sampler (sweep_sampler.py) to produce the
+*aggregated* adaptive cost volume directly:
+
+    agg = sum_v (w_v + 1) * (ref - warp_v)^2 / (N - 1)
+    w_v = relu(w2 * relu(diff2 @ w1 + b1) + b2)      (BN-folded AggWeightNet)
+
+The source-view index v is the innermost grid dimension, so each cell's
+accumulator tile stays in VMEM across all V views and only the final
+aggregate is written to HBM. The per-view warped volumes the XLA path
+materializes ([B, D, H, W, C] each — 0.5 GB/view at DTU stage 1) never
+exist; per-view HBM traffic drops to the banded source reads.
+
+The AggWeightNet (two 1x1x1 conv+BN+relu stages, C->1->1,
+/root/reference/models/module.py:544-563) collapses at inference into the
+w1/b1/w2/b2 affine form above (BN running stats folded into the conv
+weights — see nn.aggweight.fold_aggweight), so the "network" is a C-tap
+dot product plus two scalar affines per voxel: pure VPU work on the tile.
+
+Numerics: warp parity with sweep_sampler (reference homo_warping +
+grid_sample(zeros), module.py:297-332); aggregation parity with
+ops.costvol.build_cost_volume(mode="adaptive")
+(/root/reference/models/cas_mvsnet.py:64-87). diff^2/weight/accumulate in
+f32 regardless of feature dtype (matches the XLA path's f32 weight net).
+Inference-only (no VJP) — training uses the XLA path.
+
+Band-coverage contract, overflow flag, and window-budget semantics are
+identical to sweep_sampler: wb/band_rows are usable spread budgets, the
+flag reports dropped taps, callers fall back to XLA on overflow.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sweep_sampler import NY, _affine, _round_up, geom_from_projs
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, src_ref, ref_ref, w1_ref,
+            out_ref, of_ref,
+            band, sem, carry, acc,
+            *, H, W, HP, WP, C, D, V, XBLK, WB, J, WBP, JP, NYB, NXB, L,
+            sx, ox, sy, oy, out_dtype):
+    pid = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    AY = 128 // C
+    jc = J * C
+
+    def decomp(step):
+        v = step % V
+        t = step // V
+        xb = t % NXB
+        t = t // NXB
+        yb = t % NYB
+        t = t // NYB
+        di = t % D
+        b = t // D
+        return b, di, yb, xb, v
+
+    def pxpy_of(dv, b, v, y, xb):
+        xf = jax.lax.broadcasted_iota(jnp.int32, (1, XBLK), 1).astype(
+            jnp.float32) + (xb.astype(jnp.float32) * XBLK)
+        yf = y.astype(jnp.float32)
+        g = lambda k: geom_ref[v, b, k]
+        nx = (g(0) * xf + (g(1) * yf + g(2))) * dv + g(9)
+        ny = (g(3) * xf + (g(4) * yf + g(5))) * dv + g(10)
+        z = (g(6) * xf + (g(7) * yf + g(8))) * dv + g(11)
+        px = nx / z * sx + ox
+        py = ny / z * sy + oy
+        return px, py
+
+    def row_span(px, py):
+        lane_ok = jax.lax.broadcasted_iota(jnp.int32, (1, XBLK), 1) < W
+        semi = (jnp.isfinite(px) & jnp.isfinite(py)
+                & (px > -1.0) & (px < W) & (py > -1.0) & (py < H) & lane_ok)
+        big = jnp.float32(1e9)
+        xmin = jnp.clip(jnp.min(jnp.where(semi, px, big)), -1.0, W * 1.0)
+        ymin = jnp.clip(jnp.min(jnp.where(semi, py, big)), -1.0, H * 1.0)
+        xmax = jnp.clip(jnp.max(jnp.where(semi, px, -big)), -1.0, W * 1.0)
+        ymax = jnp.clip(jnp.max(jnp.where(semi, py, -big)), -1.0, H * 1.0)
+        return (jnp.floor(ymin).astype(jnp.int32),
+                jnp.floor(xmin).astype(jnp.int32),
+                jnp.minimum(jnp.floor(ymax).astype(jnp.int32) + 1, H - 1),
+                jnp.minimum(jnp.floor(xmax).astype(jnp.int32) + 1, W - 1))
+
+    def stage_step(step, slot, dv2d):
+        """Window math + band DMA for one (cell, view) step (see
+        sweep_sampler._kernel.stage_cell)."""
+        b, di, yb, xb, v = decomp(step)
+        spans = []
+        for r in range(NY):
+            px, py = pxpy_of(dv2d[r:r + 1], b, v, yb * NY + r, xb)
+            spans.append(row_span(px, py))
+        ymin_c = spans[0][0]
+        xmin_c = spans[0][1]
+        for r in range(1, NY):
+            ymin_c = jnp.minimum(ymin_c, spans[r][0])
+            xmin_c = jnp.minimum(xmin_c, spans[r][1])
+        ybase_c = jnp.clip(ymin_c, 0, HP - JP) // AY * AY
+        xbase_c = jnp.clip(xmin_c, 0, WP - WBP) // 8 * 8
+        of = jnp.int32(0)
+        for r in range(NY):
+            ymin, xmin, ytop, xtop = spans[r]
+            ybase_r = jnp.clip(jnp.clip(ymin, 0, HP - J) // AY * AY,
+                               ybase_c, ybase_c + (JP - J))
+            xbase_r = jnp.clip(jnp.clip(xmin, 0, WP - WB) // 8 * 8,
+                               xbase_c, xbase_c + (WBP - WB))
+            of = of | ((xtop - xbase_r > WB - 1)
+                       | (ytop - ybase_r > J - 1)).astype(jnp.int32)
+            carry[slot, 2 * r] = ybase_r - ybase_c
+            carry[slot, 2 * r + 1] = xbase_r - xbase_c
+        carry[slot, 2 * NY] = ybase_c
+        carry[slot, 2 * NY + 1] = xbase_c
+        carry[slot, 2 * NY + 2] = of
+        pltpu.make_async_copy(
+            src_ref.at[v, b, pl.ds(pl.multiple_of(xbase_c, 8), WBP),
+                       pl.ds(pl.multiple_of(ybase_c * C, 128), JP * C)],
+            band.at[slot], sem.at[slot]).start()
+
+    @pl.when(pid < L - 1)
+    def _():
+        stage_step(pid, pid % L, dv_ref[0, 0])
+
+    @pl.when(pid + L - 1 < nsteps)
+    def _():
+        ahead = pid + L - 1
+        stage_step(ahead, ahead % L, dvn_ref[0, 0])
+
+    cur = pid % L
+    b, di, yb, xb, v = decomp(pid)
+    ybase_c = carry[cur, 2 * NY]
+    xbase_c = carry[cur, 2 * NY + 1]
+
+    @pl.when(pid == 0)
+    def _():
+        of_ref[0, 0] = jnp.int32(0)
+
+    of_ref[0, 0] = of_ref[0, 0] | carry[cur, 2 * NY + 2]
+
+    pltpu.make_async_copy(
+        src_ref.at[v, b, pl.ds(pl.multiple_of(xbase_c, 8), WBP),
+                   pl.ds(pl.multiple_of(ybase_c * C, 128), JP * C)],
+        band.at[cur], sem.at[cur]).wait()
+
+    mm_prec = (_HIGHEST if band.dtype == jnp.float32
+               else jax.lax.Precision.DEFAULT)
+    o_iota = jax.lax.broadcasted_iota(jnp.int32, (WB, XBLK), 0)
+    b1 = scal_ref[0]
+    w2 = scal_ref[1]
+    b2 = scal_ref[2]
+    inv_nm1 = scal_ref[3]
+    w1 = w1_ref[:]  # [C, 1] f32, broadcasts over lanes
+
+    for r in range(NY):
+        px, py = pxpy_of(dv_ref[0, 0, r:r + 1], b, v, yb * NY + r, xb)
+        yoff = carry[cur, 2 * r]
+        xoff = carry[cur, 2 * r + 1]
+        ybase_r = ybase_c + yoff
+        xbase_r = xbase_c + xoff
+        sub = band[cur, pl.ds(pl.multiple_of(xoff, 8), WB),
+                   pl.ds(pl.multiple_of(yoff * C, 128), jc)]
+
+        fin = jnp.isfinite(px) & jnp.isfinite(py)
+        pxc = jnp.where(fin, jnp.clip(px, -2.0, W + 1.0), -2.0)
+        o_ids = o_iota + xbase_r
+        wxt = jnp.maximum(0.0, 1.0 - jnp.abs(pxc - o_ids.astype(jnp.float32)))
+        wxt = jnp.where(o_ids <= W - 1, wxt, 0.0)  # [WB, XBLK]
+        warp_jc = jax.lax.dot_general(
+            sub, wxt.astype(band.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mm_prec)  # [J*C, XBLK]
+
+        pyc = jnp.where(fin, jnp.clip(py, -2.0, H + 1.0), -2.0)
+        warp = jnp.zeros((C, XBLK), jnp.float32)
+        for j in range(J):
+            row = ybase_r + j
+            m = jnp.maximum(
+                0.0, 1.0 - jnp.abs(pyc - row.astype(jnp.float32)))
+            m = jnp.where(row <= H - 1, m, 0.0)
+            warp = warp + m * warp_jc[j * C:(j + 1) * C, :]
+
+        # adaptive aggregation on the tile: diff^2, folded weight net,
+        # (w+1)*diff^2 accumulated over views in the f32 VMEM accumulator
+        ref_tile = ref_ref[0, r * C:(r + 1) * C, :].astype(jnp.float32)
+        diff = ref_tile - warp
+        diff2 = diff * diff  # [C, XBLK]
+        s = jnp.sum(diff2 * w1, axis=0, keepdims=True)  # [1, XBLK]
+        wgt = jnp.maximum(w2 * jnp.maximum(s + b1, 0.0) + b2, 0.0)
+        contrib = (wgt + 1.0) * diff2
+
+        @pl.when(v == 0)
+        def _():
+            acc[r * C:(r + 1) * C, :] = contrib
+
+        @pl.when(v > 0)
+        def _():
+            acc[r * C:(r + 1) * C, :] = acc[r * C:(r + 1) * C, :] + contrib
+
+    @pl.when(v == V - 1)
+    def _():
+        out_ref[0, 0] = (acc[:] * inv_nm1).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wb", "band_rows", "xblk", "align_corners", "lookahead",
+                     "packed", "interpret"))
+def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
+                           ref_packed: jnp.ndarray,
+                           depth_values: jnp.ndarray,
+                           w1: jnp.ndarray, scalars: jnp.ndarray, *,
+                           wb: int = 192, band_rows: int = 16, xblk: int = 128,
+                           align_corners: bool = False, lookahead: int = 2,
+                           packed: bool = False, interpret: bool = False):
+    """src_stack [V, B, H, W, C]; geom [V, B, 12]; ref_packed [B, H*C, W];
+    depth_values [B, D, H, W] f32; w1 [C, 1] f32; scalars [4] f32 =
+    (b1, w2, b2, 1/(N-1)). Returns (volume, overflow [1,1] i32)."""
+    v, b, h, w, c = src_stack.shape
+    d = depth_values.shape[1]
+    if 128 % c or h % NY:
+        raise ValueError("fused cost volume needs 128 % C == 0 and H % 8 == 0; "
+                         "use the XLA path instead")
+    ay = 128 // c
+    xblk = xblk if w >= xblk else w
+    wbv = min(_round_up(wb + 7, 8), _round_up(w, 8))
+    j = min(_round_up(band_rows + ay - 1, ay), _round_up(h, ay))
+    wbp = wbv + 32
+    jp = j + _round_up(NY + ay, ay)
+    nxb = pl.cdiv(w, xblk)
+    nyb = h // NY
+    nsteps = b * d * nyb * nxb * v
+    sx, ox = _affine(w, align_corners)
+    sy, oy = _affine(h, align_corners)
+
+    hp = max(_round_up(h, ay) + ay, jp)
+    wp = max(_round_up(w, 8) + 8, wbp)
+    src_packed = jnp.zeros((v, b, wp, hp * c), src_stack.dtype)
+    src_packed = jax.lax.dynamic_update_slice(
+        src_packed,
+        jnp.transpose(src_stack, (0, 1, 3, 2, 4)).reshape(v, b, w, h * c),
+        (0, 0, 0, 0))
+    dvals = depth_values.astype(jnp.float32)
+
+    lkh = max(2, min(lookahead, nsteps))
+    out_dtype = src_stack.dtype
+    kern = functools.partial(
+        _kernel, H=h, W=w, HP=hp, WP=wp, C=c, D=d, V=v, XBLK=xblk, WB=wbv,
+        J=j, WBP=wbp, JP=jp, NYB=nyb, NXB=nxb, L=lkh,
+        sx=sx, ox=ox, sy=sy, oy=oy, out_dtype=out_dtype)
+
+    def cell_of(i):
+        t = i // v
+        xb = t % nxb
+        t = t // nxb
+        yb = t % nyb
+        t = t // nyb
+        return t // d, t % d, yb, xb  # (b, di, yb, xb)
+
+    def dv_idx(i):
+        return cell_of(i)
+
+    def dv_next_idx(i):
+        return cell_of(jnp.minimum(i + lkh - 1, nsteps - 1))
+
+    def ref_idx(i):
+        bb, _, yb, xb = cell_of(i)
+        return bb, yb, xb
+
+    volume, overflow = pl.pallas_call(
+        kern,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, 1, NY, xblk), dv_idx),
+            pl.BlockSpec((1, 1, NY, xblk), dv_next_idx),
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # geom [V, B, 12]
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # scalars [4]
+            pl.BlockSpec(memory_space=pltpu.HBM),         # src_packed
+            pl.BlockSpec((1, NY * c, xblk), ref_idx),     # ref_packed
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # w1 [C, 1]
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, NY * c, xblk), cell_of),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, d, h * c, w), out_dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((lkh, wbp, jp * c), src_stack.dtype),
+            pltpu.SemaphoreType.DMA((lkh,)),
+            pltpu.SMEM((lkh, 2 * NY + 3), jnp.int32),
+            pltpu.VMEM((NY * c, xblk), jnp.float32),
+        ],
+        interpret=interpret,
+    )(dvals, dvals, geom, scalars, src_packed, ref_packed, w1)
+    if not packed:
+        volume = jnp.moveaxis(volume.reshape(b, d, h, c, w), 3, 4)
+    return volume, overflow
+
+
+def fused_adaptive_cost_volume(ref_fea, src_feas, ref_proj, src_projs,
+                               depth_values, w1, b1, w2, b2,
+                               align_corners: bool = False,
+                               wb: int = 192, band_rows: int = 16,
+                               lookahead: int = 2,
+                               interpret: bool = False):
+    """Drop-in for ops.costvol.build_cost_volume(mode="adaptive") at
+    inference on TPU. ref_fea [B,H,W,C]; src_feas: list of [B,H,W,C];
+    projs fused [B,4,4]; depth_values [B,D] or [B,D,H,W]; w1 [C] + scalars
+    from nn.aggweight.fold_aggweight. Returns (volume [B,D,H,W,C],
+    overflow [1,1] i32)."""
+    b, h, w, c = ref_fea.shape
+    if depth_values.ndim == 2:
+        depth_values = jnp.broadcast_to(
+            depth_values[:, :, None, None], depth_values.shape + (h, w))
+    src_stack = jnp.stack(list(src_feas))  # [V, B, H, W, C]
+    geom = jnp.stack([geom_from_projs(sp, ref_proj) for sp in src_projs])
+    ref_packed = jnp.transpose(ref_fea, (0, 1, 3, 2)).reshape(b, h * c, w)
+    nm1 = len(src_feas)
+    scalars = jnp.stack([
+        jnp.asarray(b1, jnp.float32), jnp.asarray(w2, jnp.float32),
+        jnp.asarray(b2, jnp.float32),
+        jnp.asarray(1.0 / nm1, jnp.float32)])
+    w1v = jnp.asarray(w1, jnp.float32).reshape(c, 1)
+    return _fused_adaptive_volume(
+        src_stack, geom, ref_packed, depth_values, w1v, scalars,
+        wb=wb, band_rows=band_rows, align_corners=align_corners,
+        lookahead=lookahead, interpret=interpret)

@@ -226,6 +226,7 @@ def sample_bilinear_band(src_fea: jnp.ndarray, geom: jnp.ndarray,
                          depth_values: jnp.ndarray, *,
                          wb: int = 192, band_rows: int = 16, xblk: int = 128,
                          align_corners: bool = False, lookahead: int = 2,
+                         packed: bool = False,
                          interpret: bool = False):
     """Banded plane-sweep bilinear sampling.
 
@@ -235,6 +236,11 @@ def sample_bilinear_band(src_fea: jnp.ndarray, geom: jnp.ndarray,
     Returns (warped [B, D, H, W, C] in src dtype, overflow [1, 1] i32 — the
     OR over all cells; nonzero means some cell's window did not cover its
     in-image taps and contributions were dropped).
+
+    ``packed=True`` skips the unpack and returns the kernel's native dense
+    [B, D, H*C, W] layout where row y*C+ci holds channel ci of output row y
+    (the layout a fused consumer should read — it avoids both the unpack
+    transpose and padding C up to 128 lanes).
 
     Requires H % 8 == 0 and 128 % C == 0 (reference stage shapes satisfy
     both); otherwise use the XLA path.
@@ -249,8 +255,11 @@ def sample_bilinear_band(src_fea: jnp.ndarray, geom: jnp.ndarray,
                          "banded sampler; use the XLA path instead")
     ay = 128 // c
     xblk = xblk if w >= xblk else w  # small images: one block spans the row
-    wb = min(_round_up(wb, 8), _round_up(w, 8))
-    j = min(_round_up(band_rows, ay), _round_up(h, ay))
+    # wb/band_rows are USABLE spread budgets: window bases are quantized
+    # down to 8-px / AY-row alignment, so the physical window must carry
+    # that slack on top (at C=8 the y alignment alone is 16 rows)
+    wb = min(_round_up(wb + 7, 8), _round_up(w, 8))
+    j = min(_round_up(band_rows + ay - 1, ay), _round_up(h, ay))
     # cell-level band: per-row windows drift across the NY rows
     wbp = wb + 32
     jp = j + _round_up(NY + ay, ay)
@@ -287,9 +296,6 @@ def sample_bilinear_band(src_fea: jnp.ndarray, geom: jnp.ndarray,
     def dv_next_idx(i):
         return cell_idx(jnp.minimum(i + lkh - 1, ncells - 1))
 
-    def out_idx(i):
-        return cell_idx(i) + (0,)
-
     warped, overflow = pl.pallas_call(
         kern,
         grid=(ncells,),
@@ -300,11 +306,14 @@ def sample_bilinear_band(src_fea: jnp.ndarray, geom: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, NY, xblk, c), out_idx),
+            # packed (H*C, W): block rows yb*NY*C .. (yb+1)*NY*C-1 hold the
+            # cell's NY output rows, C channel-rows each — the kernel's
+            # native [C, XBLK] tiles land here without lane padding
+            pl.BlockSpec((1, 1, NY * c, xblk), cell_idx),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, d, h, w, c), src_fea.dtype),
+            jax.ShapeDtypeStruct((b, d, h * c, w), src_fea.dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         scratch_shapes=[
@@ -314,6 +323,8 @@ def sample_bilinear_band(src_fea: jnp.ndarray, geom: jnp.ndarray,
         ],
         interpret=interpret,
     )(dvals, dvals, geom, src_packed)
+    if not packed:
+        warped = jnp.moveaxis(warped.reshape(b, d, h, c, w), 3, 4)
     return warped, overflow
 
 

@@ -109,32 +109,45 @@ def plane_sweep_grid(src_proj: jnp.ndarray, ref_proj: jnp.ndarray,
     return px, py
 
 
-def pallas_sampler_supported(src_fea: jnp.ndarray) -> bool:
+def pallas_sampler_supported(src_fea: jnp.ndarray, backend: str | None = None) -> bool:
     """Whether the banded Pallas sampler can handle this call on this
     backend. It is inference-only (no VJP) — callers pick it for eval."""
-    c = src_fea.shape[-1]
-    return (jax.default_backend() == "tpu" and 128 % c == 0
+    _, h, _, c = src_fea.shape
+    if backend is None:
+        backend = jax.default_backend()
+    return (backend == "tpu" and 128 % c == 0 and h % 8 == 0
             and src_fea.dtype in (jnp.float32, jnp.bfloat16))
 
 
 def plane_sweep_warp(src_fea: jnp.ndarray, src_proj: jnp.ndarray,
                      ref_proj: jnp.ndarray, depth_values: jnp.ndarray,
                      align_corners: bool = False,
-                     sampler: str = "xla") -> jnp.ndarray:
+                     sampler: str = "xla",
+                     sampler_opts: dict | None = None,
+                     return_overflow: bool = False):
     """Warp source features over depth hypotheses into the reference frustum.
 
     src_fea: [B, H, W, C]; src_proj/ref_proj: [B, 4, 4] fused matrices;
-    depth_values: [B, D] or [B, D, H, W]. Returns [B, D, H, W, C].
+    depth_values: [B, D] or [B, D, H, W]. Returns [B, D, H, W, C]; with
+    ``return_overflow`` returns (warped, overflow [1,1] i32) — nonzero means
+    the banded sampler dropped out-of-window taps (always 0 on the XLA path).
 
     sampler: "xla" (gather-based, differentiable) or "pallas" (banded
     one-hot-matmul TPU kernel, inference-only — see ops/pallas/sweep_sampler).
+    sampler_opts: kwargs forwarded to the pallas sampler (wb, band_rows,
+    lookahead, interpret).
     """
     if sampler == "pallas":
         from .pallas.sweep_sampler import plane_sweep_warp_pallas
         return plane_sweep_warp_pallas(src_fea, src_proj, ref_proj,
-                                       depth_values, align_corners)
+                                       depth_values, align_corners,
+                                       return_overflow=return_overflow,
+                                       **(sampler_opts or {}))
     _, h, w, _ = src_fea.shape
     px, py = plane_sweep_grid(src_proj, ref_proj, depth_values, h, w, align_corners)
     px = jax.lax.stop_gradient(px)
     py = jax.lax.stop_gradient(py)
-    return bilinear_sample_zeros(src_fea, px, py)
+    out = bilinear_sample_zeros(src_fea, px, py)
+    if return_overflow:
+        return out, jnp.zeros((1, 1), jnp.int32)
+    return out

@@ -1,0 +1,107 @@
+"""Fused adaptive cost-volume kernel: parity vs the XLA path.
+
+Interpreter mode on CPU. Parity targets: ops.costvol.build_cost_volume
+(mode="adaptive", itself golden-tested vs the reference DepthNet
+aggregation) and the full cascade forward with sampler="xla".
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from damvsnet_tpu.nn.aggweight import AggWeightNetVolume, fold_aggweight
+from damvsnet_tpu.ops.costvol import build_cost_volume
+from damvsnet_tpu.ops.pallas.fused_costvol import fused_adaptive_cost_volume
+from conftest import make_rig
+
+B, H, W, C, D, V = 1, 24, 32, 8, 4, 3
+
+
+def _fused_projs(num_views):
+    _, projs = make_rig(batch=B, num_views=num_views, height=H, width=W)
+    fused = []
+    for v in range(num_views):
+        f = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy()
+        f[:, :3, :4] = np.einsum("bij,bjk->bik", projs[:, v, 1, :3, :3],
+                                 projs[:, v, 0, :3, :4])
+        fused.append(jnp.asarray(f))
+    return fused
+
+
+@pytest.fixture(scope="module")
+def wnet():
+    net = AggWeightNetVolume()
+    variables = net.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 1, 1, C)),
+                         False)
+    # non-trivial BN stats so the folding is actually exercised
+    variables = jax.tree_util.tree_map(lambda x: x, variables)
+    bs = jax.tree_util.tree_map(
+        lambda x: x + 0.3 * jnp.arange(x.size, dtype=x.dtype).reshape(x.shape),
+        variables["batch_stats"])
+    return net, {"params": variables["params"], "batch_stats": bs}
+
+
+def test_fold_aggweight_matches_module(rng, wnet):
+    net, variables = wnet
+    x = jnp.asarray(rng.random((2, 3, 4, 5, C)).astype(np.float32))
+    want = net.apply(variables, x, False)  # eval mode, running stats
+    w1, b1, w2, b2 = fold_aggweight(variables)
+    s = jnp.maximum(jnp.einsum("bdhwc,c->bdhw", x, w1)[..., None] + b1, 0.0)
+    got = jnp.maximum(w2 * s + b2, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.parametrize("per_pixel", [False, True])
+def test_fused_volume_matches_xla(rng, wnet, per_pixel):
+    net, variables = wnet
+    projs = _fused_projs(V + 1)
+    ref_p, src_ps = projs[0], projs[1:]
+    feas = [jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+            for _ in range(V + 1)]
+    if per_pixel:
+        dv = jnp.asarray((4 + 4 * rng.random((B, D, H, W))).astype(np.float32))
+    else:
+        dv = jnp.asarray(np.linspace(4, 8, D, dtype=np.float32)[None])
+
+    weight_fn = lambda vol: net.apply(variables, vol, False)
+    want = build_cost_volume(feas[0], feas[1:], ref_p, src_ps, dv,
+                             mode="adaptive", weight_fn=weight_fn,
+                             sampler="xla")
+    w1, b1, w2, b2 = fold_aggweight(variables)
+    got, overflow = fused_adaptive_cost_volume(
+        feas[0], feas[1:], ref_p, src_ps, dv, w1, b1, w2, b2,
+        wb=W, band_rows=H, interpret=True)
+    assert int(np.asarray(overflow).sum()) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
+def test_cascade_fused_matches_xla(rng):
+    """Full-model wiring: sampler='pallas' (fused adaptive path, folded
+    weights pulled from the bound submodule) vs sampler='xla'."""
+    from damvsnet_tpu.model import CascadeMVSNet
+
+    b, n, h, w = 1, 3, 32, 32
+    _, projs = make_rig(batch=b, num_views=n, height=h // 4, width=w // 4)
+    proj_ms = {}
+    for s in range(1, 4):
+        p = projs.copy()
+        p[:, :, 1, :2, :] *= 2.0 ** (s - 1)
+        proj_ms[f"stage{s}"] = jnp.asarray(p)
+    imgs = jnp.asarray(rng.random((b, n, h, w, 3)).astype(np.float32))
+    dv = jnp.asarray(np.linspace(4.0, 8.0, 8, dtype=np.float32)[None])
+
+    kw = dict(ndepths=(8, 8, 8), cr_base_chs=(8, 8, 8), use_geo_fusion=False)
+    pall = CascadeMVSNet(sampler="pallas",
+                         sampler_opts={"interpret": True}, **kw)
+    variables = pall.init(jax.random.PRNGKey(0), imgs, proj_ms, dv,
+                          train=False)
+    got = pall.apply(variables, imgs, proj_ms, dv, train=False)
+    assert int(got["sampler_overflow"]) == 0
+
+    xla = CascadeMVSNet(sampler="xla", **kw)
+    want = xla.apply(variables, imgs, proj_ms, dv, train=False)
+    np.testing.assert_allclose(np.asarray(got["depth"]),
+                               np.asarray(want["depth"]), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got["photometric_confidence"]),
+        np.asarray(want["photometric_confidence"]), atol=1e-4)
