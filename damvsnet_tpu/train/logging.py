@@ -70,6 +70,53 @@ def _scalar_event(tag: str, value: float, step: int, wall_time: float) -> bytes:
     return event
 
 
+def _image_event(tag: str, png: bytes, height: int, width: int,
+                 colorspace: int, step: int, wall_time: float) -> bytes:
+    """Event proto carrying Summary.Value{ tag(1) image(4){ height(1,i32)
+    width(2,i32) colorspace(3,i32) encoded_image_string(4,bytes) } }."""
+    tag_b = tag.encode()
+    img = (b"\x08" + _varint_bytes(height)
+           + b"\x10" + _varint_bytes(width)
+           + b"\x18" + _varint_bytes(colorspace)
+           + b"\x22" + _varint_bytes(len(png)) + png)
+    val = (b"\x0a" + _varint_bytes(len(tag_b)) + tag_b
+           + b"\x22" + _varint_bytes(len(img)) + img)
+    summary = b"\x0a" + _varint_bytes(len(val)) + val
+    event = (b"\x09" + struct.pack("<d", wall_time)
+             + b"\x10" + _varint_bytes(step)
+             + b"\x2a" + _varint_bytes(len(summary)) + summary)
+    return event
+
+
+def _to_png_u8(img) -> tuple:
+    """Normalize an array to uint8 RGB/grayscale and PNG-encode it.
+
+    Accepts [H, W] (scaled to the full range like torchvision make_grid
+    normalize=True scale_each=True — the reference's save_images
+    preprocessing, utils.py:83-93) or [H, W, 3] float/uint8.
+    Returns (png_bytes, height, width, colorspace)."""
+    import numpy as np
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = a.astype(np.float64)
+        finite = np.isfinite(a)
+        lo = a[finite].min() if finite.any() else 0.0
+        hi = a[finite].max() if finite.any() else 1.0
+        a = np.clip((a - lo) / max(hi - lo, 1e-12), 0.0, 1.0)
+        a = np.nan_to_num(a)
+        a = (a * 255.0).astype(np.uint8)
+    import cv2
+    if a.ndim == 3 and a.shape[-1] == 3:
+        ok, buf = cv2.imencode(".png", cv2.cvtColor(a, cv2.COLOR_RGB2BGR))
+        cs = 3
+    else:
+        ok, buf = cv2.imencode(".png", a)
+        cs = 1
+    if not ok:
+        raise ValueError("PNG encode failed")
+    return buf.tobytes(), a.shape[0], a.shape[1], cs
+
+
 class SummaryWriter:
     """Minimal TB event writer + JSONL mirror."""
 
@@ -97,6 +144,26 @@ class SummaryWriter:
 
     def add_scalar(self, tag: str, value: float, step: int):
         self._write_event(_scalar_event(tag, float(value), int(step), time.time()))
+
+    def add_image(self, tag: str, img, step: int):
+        """img: [H, W] (auto-normalized, grayscale) or [H, W, 3] RGB."""
+        try:
+            png, h, w, cs = _to_png_u8(img)
+        except Exception:
+            return  # logging must never stop training
+        self._write_event(_image_event(tag, png, h, w, cs, int(step),
+                                       time.time()))
+
+    def add_images(self, prefix: str, images: dict, step: int):
+        """save_images parity (utils.py:83-101): each value is [H, W(, 3)]
+        or batched [B, H, W(, 3)] — the first element of a batch is logged,
+        normalized per image."""
+        import numpy as np
+        for k, v in images.items():
+            a = np.asarray(v)
+            if a.ndim == 4 or (a.ndim == 3 and a.shape[-1] != 3):
+                a = a[0]
+            self.add_image(f"{prefix}/{k}" if prefix else k, a, step)
 
     def add_scalars(self, prefix: str, scalars: dict, step: int):
         """save_scalars parity (utils.py:70-82): '<prefix>/<key>' tags."""

@@ -85,6 +85,18 @@ def make_train_step(model, dlossw=(0.5, 1.0, 2.0), use_cpc: bool = True,
             "thres4mm_error": thres_metrics(depth_est, depth_gt, mask, 4.0),
             "thres8mm_error": thres_metrics(depth_est, depth_gt, mask, 8.0),
         }
+        # image summaries (first sample; parity: train.py:106-119 +
+        # utils.py:83-101 save_images) — lazy device arrays, fetched by the
+        # Trainer only at summary steps
+        maskf = mask[0].astype(depth_est.dtype)
+        metrics["_images"] = {
+            "depth_est": depth_est[0] * maskf,
+            "depth_gt": depth_gt[0],
+            "ref_img": batch["imgs"][0, 0],
+            "mask": maskf,
+            "errormap": jnp.abs(depth_est[0] - depth_gt[0]) * maskf,
+            "photometric_confidence": outputs["photometric_confidence"][0],
+        }
         return state, metrics
 
     donate_argnums = (0,) if donate else ()
@@ -143,10 +155,14 @@ class Trainer:
         for i, batch in enumerate(batches):
             t0 = time.time()
             self.state, metrics = self.train_step(self.state, batch)
+            images = metrics.pop("_images", None)
             if (i + 1) % self.summary_freq == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 meter.update(metrics)
                 self.writer.add_scalars("train", metrics, int(self.state.step))
+                if images is not None:
+                    self.writer.add_images("train", images,
+                                           int(self.state.step))
                 self.log_fn(
                     f"epoch {self.state.epoch} iter {i} "
                     + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())

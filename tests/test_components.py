@@ -153,3 +153,67 @@ def test_checkpoint_max_keep(tmp_path):
         save_checkpoint(str(tmp_path), st, max_keep=2)
     kept = sorted(d for d in os.listdir(tmp_path) if d.startswith("ckpt_"))
     assert kept == ["ckpt_000003", "ckpt_000004"]
+
+
+def test_summary_writer_images(tmp_path):
+    """Image summaries land in the event file as framed records whose CRCs
+    verify and whose payload embeds a PNG (utils.py:83-101 save_images
+    parity at the wire level)."""
+    from damvsnet_tpu.train.logging import (SummaryWriter, _masked_crc32c)
+    w = SummaryWriter(str(tmp_path))
+    depth = np.linspace(0, 1, 24 * 32, dtype=np.float32).reshape(24, 32)
+    rgb = np.zeros((24, 32, 3), np.uint8)
+    rgb[:, 16:] = 255
+    w.add_images("train", {"depth_est": depth[None],  # batched [B,H,W]
+                           "ref_img": rgb}, step=5)
+    w.close()
+    events = [f for f in os.listdir(tmp_path) if f.startswith("events.out")]
+    data = open(tmp_path / events[0], "rb").read()
+    # walk the TFRecord framing: len(8) lencrc(4) payload lencrc(4)
+    import struct
+    off, n_img = 0, 0
+    while off < len(data):
+        (ln,) = struct.unpack("<Q", data[off:off + 8])
+        (hcrc,) = struct.unpack("<I", data[off + 8:off + 12])
+        assert hcrc == _masked_crc32c(data[off:off + 8])
+        payload = data[off + 12:off + 12 + ln]
+        (pcrc,) = struct.unpack("<I",
+                                data[off + 12 + ln:off + 16 + ln])
+        assert pcrc == _masked_crc32c(payload)
+        if b"\x89PNG" in payload:
+            n_img += 1
+        off += 16 + ln
+    assert n_img == 2
+
+
+def test_visualize_maps(tmp_path):
+    from damvsnet_tpu.utils.visualize import (
+        confidence_to_color, depth_to_color, error_to_color,
+        visualize_results_dir)
+    depth = np.linspace(4, 8, 20 * 24).reshape(20, 24).astype(np.float32)
+    rgb = depth_to_color(depth)
+    assert rgb.shape == (20, 24, 3) and rgb.dtype == np.uint8
+    assert not np.array_equal(rgb[0, 0], rgb[-1, -1])  # spans the ramp
+    conf = np.clip(depth / 8.0, 0, 1)
+    cc = confidence_to_color(conf, threshold=0.9)
+    assert cc.shape == (20, 24, 3)
+    err = error_to_color(depth, depth + 1.0, mask=np.ones_like(depth))
+    assert err.shape == (20, 24, 3)
+    # invalid pixels are black
+    d2 = depth.copy()
+    d2[0, 0] = np.nan
+    assert (depth_to_color(d2)[0, 0] == 0).all()
+
+    # results-directory walker over a runner-layout tree
+    from damvsnet_tpu.core.pfm import write_pfm
+    scene = tmp_path / "scan1"
+    (scene / "depth_est").mkdir(parents=True)
+    (scene / "confidence").mkdir()
+    write_pfm(str(scene / "depth_est" / "00000000.pfm"), depth)
+    write_pfm(str(scene / "confidence" / "00000000.pfm"), conf)
+    n = visualize_results_dir(str(tmp_path), log_fn=lambda *_: None)
+    assert n == 2
+    viz = scene / "viz"
+    names = sorted(os.listdir(viz))
+    assert "depth_00000000.png" in names and "conf_00000000.png" in names
+    assert "masked_00000000.png" in names

@@ -54,3 +54,53 @@ def test_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(len(jax.devices()))
+
+
+@pytest.mark.slow
+def test_dp_gradient_equivalence():
+    """Gradients from the GSPMD data-sharded step equal single-device
+    gradients on the same batch (the correctness contract DDP provides in
+    the reference, train.py:472-479)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _example_batch
+    from damvsnet_tpu.losses import cas_mvsnet_loss
+    from damvsnet_tpu.model import CascadeMVSNet
+    from damvsnet_tpu.parallel import make_mesh, shard_batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = len(jax.devices())
+    model = CascadeMVSNet(ndepths=(4, 4, 4), use_geo_fusion=True)
+    batch = _example_batch(batch=n, nviews=2, height=16, width=16, d0=8)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
+        batch["depth_values"], batch["intrinsics_matrices"], train=False)
+
+    def grad_fn(params, batch):
+        def loss_fn(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                batch["imgs"], batch["proj_matrices"], batch["depth_values"],
+                batch["intrinsics_matrices"], train=True,
+                mutable=["batch_stats"])
+            total, _, _ = cas_mvsnet_loss(out, batch["imgs"],
+                                          batch["proj_matrices"],
+                                          batch["depth"], batch["mask"])
+            return total
+        return jax.grad(loss_fn)(params)
+
+    g_single = jax.jit(grad_fn)(variables["params"], batch)
+
+    mesh = make_mesh(data=n, space=1)
+    with mesh:
+        params_repl = jax.device_put(variables["params"],
+                                     NamedSharding(mesh, P()))
+        g_sharded = jax.jit(grad_fn)(params_repl, shard_batch(mesh, batch))
+
+    flat_s, _ = jax.tree_util.tree_flatten(g_single)
+    flat_m, _ = jax.tree_util.tree_flatten(g_sharded)
+    for a, b in zip(flat_s, flat_m):
+        scale = max(float(jnp.abs(a).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   atol=5e-5)
