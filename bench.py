@@ -44,10 +44,16 @@ def main():
 
     dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[
         os.environ.get("BENCH_DTYPE", "bf16")]
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_damvsnet"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     model = CascadeMVSNet(ndepths=(64, 32, 8), compute_dtype=dtype)
     batch = _example_batch(batch=1, nviews=nviews, height=height, width=width,
                            d0=d0)
-    variables = model.init(
+    # jitted init: eager flax init is thousands of tiny dispatches — fatal
+    # over the remote TPU tunnel
+    variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
         batch["depth_values"], batch["intrinsics_matrices"], train=False)
 

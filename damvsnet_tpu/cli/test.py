@@ -86,7 +86,7 @@ def main(argv=None):
                          else {kk: vv[None] for kk, vv in v.items()}
                          if isinstance(v, dict) else v)
                      for k, v in sample.items() if k != "filename"}
-            variables = model.init(
+            variables = jax.jit(model.init, static_argnames=("train",))(
                 jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
                 batch["depth_values"], batch["intrinsics_matrices"],
                 train=False)

@@ -7,6 +7,8 @@ without DTU on disk. Output dict layout matches the DTU loader.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..core.cameras import stage_intrinsics, stage_proj_matrices
@@ -38,8 +40,10 @@ def _render_plane(intr, ext, height, width, plane_n, plane_c):
     return img.astype(np.float32), depth.astype(np.float32)
 
 
-def make_synthetic_sample(height=128, width=160, nviews=3, ndepths=48,
-                          seed=0, with_gt=True):
+def render_synthetic_views(height=128, width=160, nviews=3, seed=0):
+    """Render all views of one scene. Returns a dict with imgs [N,H,W,3],
+    depths [N,H,W] (per-view GT), intr (3,3 full-res), exts [N,4,4],
+    plane (n, c), dmin/dmax of the ref view's depth range."""
     rs = np.random.default_rng(seed)
     f = 0.9 * width
     intr = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]],
@@ -50,8 +54,7 @@ def make_synthetic_sample(height=128, width=160, nviews=3, ndepths=48,
     plane_n /= np.linalg.norm(plane_n)
     plane_c = 6.0
 
-    imgs, projs = [], []
-    depth_full = None
+    imgs, depths, exts = [], [], []
     for v in range(nviews):
         angle = 0.04 * v + 0.01 * rs.standard_normal()
         ca, sa = np.cos(angle), np.sin(angle)
@@ -64,21 +67,37 @@ def make_synthetic_sample(height=128, width=160, nviews=3, ndepths=48,
         img, depth = _render_plane(intr.astype(np.float64), ext.astype(np.float64),
                                    height, width, plane_n, plane_c)
         imgs.append(img)
-        if v == 0:
-            depth_full = depth
+        depths.append(depth)
+        exts.append(ext)
+    ref_depth = depths[0]
+    return {
+        "imgs": np.stack(imgs),
+        "depths": np.stack(depths),
+        "intr": intr,
+        "exts": np.stack(exts),
+        "plane": (plane_n, plane_c),
+        "dmin": float(ref_depth.min()) * 0.9,
+        "dmax": float(ref_depth.max()) * 1.1,
+    }
+
+
+def make_synthetic_sample(height=128, width=160, nviews=3, ndepths=48,
+                          seed=0, with_gt=True):
+    scene = render_synthetic_views(height, width, nviews, seed)
+    imgs = scene["imgs"]
+    depth_full = scene["depths"][0]
+    projs = []
+    for v in range(nviews):
         proj = np.zeros((2, 4, 4), np.float32)
-        proj[0] = ext
+        proj[0] = scene["exts"][v]
         # stage-1 convention: cam files carry quarter-res K
-        k1 = intr.copy()
+        k1 = scene["intr"].copy()
         k1[:2] /= 4.0
         proj[1, :3, :3] = k1
         projs.append(proj)
-
-    imgs = np.stack(imgs)
     projs = np.stack(projs)
-    dmin = float(depth_full.min()) * 0.9
-    dmax = float(depth_full.max()) * 1.1
-    depth_values = np.linspace(dmin, dmax, ndepths, dtype=np.float32)
+    depth_values = np.linspace(scene["dmin"], scene["dmax"], ndepths,
+                               dtype=np.float32)
 
     sample = {
         "imgs": imgs,
@@ -100,6 +119,59 @@ def make_synthetic_sample(height=128, width=160, nviews=3, ndepths=48,
         sample["depth"] = pyr
         sample["mask"] = {k: np.ones_like(v) for k, v in pyr.items()}
     return sample
+
+
+def export_synthetic_scene(datapath, scan="scan_synth", height=128, width=160,
+                           nviews=5, seed=10_000, num_depth=192):
+    """Write one synthetic scene to disk in the MVSNet eval layout that
+    general_eval/dypcd consume (images/{v:08d}.jpg, cams/{v:08d}_cam.txt
+    with FULL-res K + 4-field depth line, pair.txt), plus ground truth:
+    gt_depths/{v:08d}.pfm and a world-frame GT point cloud
+    (gt_points.npy, every view's GT depth backprojected).
+
+    The GT cloud is the synthetic stand-in for the DTU STL reference used
+    by eval/dtu_eval.evaluate_scan (BaseEvalMain_web.m:44-46 loads the
+    scan STL); real DTU data is not on this host.
+    """
+    import cv2
+
+    from ..core.cameras import write_cam_file
+    from ..core.pfm import write_pfm
+
+    scene = render_synthetic_views(height, width, nviews, seed)
+    base = os.path.join(datapath, scan)
+    for sub in ("images", "cams", "gt_depths"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+
+    dmin, dmax = scene["dmin"], scene["dmax"]
+    interval = (dmax - dmin) / num_depth
+    gt_points = []
+    for v in range(nviews):
+        img = (np.clip(scene["imgs"][v], 0, 1) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(base, f"images/{v:08d}.jpg"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_JPEG_QUALITY, 98])
+        write_cam_file(os.path.join(base, f"cams/{v:08d}_cam.txt"),
+                       scene["intr"], scene["exts"][v], dmin, interval,
+                       num_depth=num_depth, depth_max=dmax)
+        write_pfm(os.path.join(base, f"gt_depths/{v:08d}.pfm"),
+                  scene["depths"][v])
+        # backproject GT depth to world-frame points
+        h, w = scene["depths"][v].shape
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        pix = np.stack([xs, ys, np.ones_like(xs)], -1).reshape(-1, 3)
+        kinv = np.linalg.inv(scene["intr"].astype(np.float64))
+        cam = (pix @ kinv.T) * scene["depths"][v].reshape(-1, 1)
+        ext = scene["exts"][v].astype(np.float64)
+        world = (cam - ext[:3, 3]) @ ext[:3, :3]  # R^T (x - t)
+        gt_points.append(world)
+    gt_points = np.concatenate(gt_points, 0).astype(np.float32)
+    np.save(os.path.join(base, "gt_points.npy"), gt_points)
+
+    from ..core.pairs import write_pair_file
+    pairs = [(v, [s for s in range(nviews) if s != v]) for v in range(nviews)]
+    write_pair_file(os.path.join(base, "pair.txt"), pairs)
+    return base
 
 
 class SyntheticDataset:

@@ -74,6 +74,13 @@ class CascadeMVSNet(nn.Module):
     # sampler (wb, band_rows, lookahead, interpret); the per-stage
     # dropped-taps flag is surfaced as outputs["sampler_overflow"] so
     # callers (infer/runner.py) can detect and redo with the XLA path
+    stats_kernel: str = "auto"  # prob-volume stats tail: "xla" | "pallas"
+    # (fused single-pass Pallas kernel, ops/pallas/probstats.py) | "auto"
+    # (pallas at inference on TPU, xla otherwise — stats have no VJP)
+    fmt_sp_axis: str | None = None  # mesh axis for sequence-parallel FMT
+    # attention (parallel/fmt_sp.py): shard the (h*w) token axis; exact —
+    # linear attention's KV summary reduces over tokens, so the "ring" is
+    # one psum. Requires running under a Mesh carrying the axis.
     slab_axis: str | None = None  # mesh axis name for depth-slab sharding
     # of the cost volume (SURVEY §5): the [B, D, H, W(, C)] volumes are
     # constrained to shard D over this axis; GSPMD inserts the halo
@@ -97,7 +104,8 @@ class CascadeMVSNet(nn.Module):
                 convolutional_layer_encoding="z", mask_type="basic",
                 add_origin_feat_flag=True)
         if self.use_fmt:
-            self.fmt_pathway = FMTWithPathway(base_channels=self.base_channels)
+            self.fmt_pathway = FMTWithPathway(base_channels=self.base_channels,
+                                              sp_axis=self.fmt_sp_axis)
         assert self.reg_mode in ("costreg", "georeg")
         if self.reg_mode == "georeg":
             encodings = (["std"] + ["z"] * (self.num_stage - 1))
@@ -170,8 +178,22 @@ class CascadeMVSNet(nn.Module):
             reg = (self.cost_regularization if self.share_cr
                    else self.cost_regularization[stage_idx])
             cost_reg = reg(volume, train)[..., 0]  # [B, D, H, W]
-        # softmax / soft-argmin always in fp32 (mixed-precision boundary)
-        out = prob_volume_stats(cost_reg.astype(jnp.float32), depth_samples)
+        # softmax / soft-argmin always in fp32 (mixed-precision boundary);
+        # at inference on TPU the four reductions run as one fused VMEM
+        # pass (ops/pallas/probstats.py — no VJP, so training keeps XLA)
+        use_pallas_stats = self.stats_kernel == "pallas" or (
+            self.stats_kernel == "auto" and not train
+            and not self.is_initializing()
+            and jax.default_backend() == "tpu")
+        if use_pallas_stats:
+            from ..ops.pallas.probstats import prob_volume_stats_pallas
+            interp = bool(self.sampler_opts
+                          and self.sampler_opts.get("interpret"))
+            out = prob_volume_stats_pallas(cost_reg.astype(jnp.float32),
+                                           depth_samples, interpret=interp)
+        else:
+            out = prob_volume_stats(cost_reg.astype(jnp.float32),
+                                    depth_samples)
         out["depth_values"] = depth_samples
         out["sampler_overflow"] = overflow[0, 0]
         return out

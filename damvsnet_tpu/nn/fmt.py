@@ -40,9 +40,23 @@ def linear_attention(q, k, v, eps: float = 1e-6):
     return jnp.einsum("nlhd,nhmd,nlh->nlhm", q, kv, z)
 
 
+def _sp_mesh_for(axis: str | None, seq_len: int):
+    """The active mesh if sequence-parallel attention applies: the axis
+    exists on the context mesh with size > 1 dividing the token count."""
+    if axis is None:
+        return None
+    from jax.interpreters.pxla import thread_resources
+    mesh = thread_resources.env.physical_mesh
+    size = dict(mesh.shape).get(axis, 1) if not mesh.empty else 1
+    if size > 1 and seq_len % size == 0:
+        return mesh
+    return None
+
+
 class AttentionLayer(nn.Module):
     d_model: int
     n_heads: int
+    sp_axis: str | None = None
 
     @nn.compact
     def __call__(self, queries, keys, values):
@@ -52,17 +66,25 @@ class AttentionLayer(nn.Module):
         q = nn.Dense(dk * h, dtype=get_compute_dtype(), name="query_projection")(queries).reshape(n, l, h, dk)
         k = nn.Dense(dk * h, dtype=get_compute_dtype(), name="key_projection")(keys).reshape(n, keys.shape[1], h, dk)
         v = nn.Dense(dk * h, dtype=get_compute_dtype(), name="value_projection")(values).reshape(n, values.shape[1], h, dk)
-        out = linear_attention(q, k, v).reshape(n, l, -1)
+        mesh = _sp_mesh_for(self.sp_axis, l) if l == keys.shape[1] else None
+        if mesh is not None:
+            from ..parallel.fmt_sp import sequence_parallel_linear_attention
+            out = sequence_parallel_linear_attention(
+                q, k, v, mesh, axis=self.sp_axis).reshape(n, l, -1)
+        else:
+            out = linear_attention(q, k, v).reshape(n, l, -1)
         return nn.Dense(self.d_model, dtype=get_compute_dtype(), name="out_projection")(out)
 
 
 class EncoderLayer(nn.Module):
     d_model: int
     n_heads: int
+    sp_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, source):
-        x = x + AttentionLayer(self.d_model, self.n_heads)(x, source, source)
+        x = x + AttentionLayer(self.d_model, self.n_heads,
+                               sp_axis=self.sp_axis)(x, source, source)
         x = nn.LayerNorm(name="norm1")(x)
         y = nn.Dense(2 * self.d_model, dtype=get_compute_dtype(), name="linear1")(x)
         y = nn.relu(y)
@@ -74,10 +96,12 @@ class FMT(nn.Module):
     d_model: int = 32
     n_heads: int = 8
     layer_names: Sequence[str] = ("self", "cross") * 4
+    sp_axis: str | None = None
 
     def setup(self):
         self.layers = [
-            EncoderLayer(self.d_model, self.n_heads, name=f"layer{i}")
+            EncoderLayer(self.d_model, self.n_heads, sp_axis=self.sp_axis,
+                         name=f"layer{i}")
             for i in range(len(self.layer_names))
         ]
 
@@ -115,10 +139,11 @@ class FMT(nn.Module):
 
 class FMTWithPathway(nn.Module):
     base_channels: int = 8
+    sp_axis: str | None = None  # mesh axis for sequence-parallel attention
 
     def setup(self):
         b = self.base_channels
-        self.fmt = FMT(d_model=4 * b)
+        self.fmt = FMT(d_model=4 * b, sp_axis=self.sp_axis)
         self.dim_reduction_1 = nn.Conv(2 * b, (1, 1), use_bias=False)
         self.dim_reduction_2 = nn.Conv(b, (1, 1), use_bias=False)
         self.smooth_1 = nn.Conv(2 * b, (3, 3), padding=1, use_bias=False)

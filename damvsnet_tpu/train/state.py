@@ -39,7 +39,10 @@ class TrainState:
 
 
 def create_train_state(model, rng, example_batch, tx) -> TrainState:
-    variables = model.init(
+    # jit the init: eager flax init dispatches thousands of tiny ops, which
+    # is pathological over a remote-attached TPU (one tunnel roundtrip per
+    # op); one compiled program instead.
+    variables = jax.jit(model.init, static_argnames=("train",))(
         rng, example_batch["imgs"], example_batch["proj_matrices"],
         example_batch["depth_values"],
         example_batch.get("intrinsics_matrices"), train=False)

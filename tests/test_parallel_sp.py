@@ -59,3 +59,41 @@ def test_depth_slab_sharded_model():
     np.testing.assert_allclose(np.asarray(d),
                                np.asarray(ref["stage3"]["depth"]),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_fmt_sp_wired_into_model():
+    """fmt_sp_axis='space': the FMT pathway's attention runs sequence-
+    parallel under the mesh and matches the unsharded model exactly."""
+    from damvsnet_tpu.model import CascadeMVSNet
+    rng = np.random.default_rng(1)
+    B, N, H, W = 1, 3, 32, 32
+    _, projs = make_rig(batch=B, num_views=N, height=H // 4, width=W // 4)
+    proj_ms = {}
+    for s in range(1, 4):
+        p = projs.copy()
+        p[:, :, 1, :2, :] *= 2.0 ** (s - 1)
+        proj_ms[f"stage{s}"] = jnp.asarray(p)
+    imgs = jnp.asarray(rng.random((B, N, H, W, 3)).astype(np.float32))
+    dvals = jnp.asarray(np.linspace(4, 8, 16, dtype=np.float32)[None])
+
+    base = CascadeMVSNet(ndepths=(8, 8, 8), use_geo_fusion=False,
+                         use_fmt=True)
+    variables = base.init(jax.random.PRNGKey(0), imgs, proj_ms, dvals, None,
+                          train=False)
+    ref = base.apply(variables, imgs, proj_ms, dvals, None, train=False)
+
+    mesh = make_mesh(data=1, space=len(jax.devices()))
+    sp = CascadeMVSNet(ndepths=(8, 8, 8), use_geo_fusion=False,
+                       use_fmt=True, fmt_sp_axis="space")
+
+    @jax.jit
+    def fwd(variables, imgs, proj_ms, dvals):
+        out = sp.apply(variables, imgs, proj_ms, dvals, None, train=False)
+        return out["stage3"]["depth"]
+
+    with mesh:
+        d = fwd(variables, imgs, proj_ms, dvals)
+    np.testing.assert_allclose(np.asarray(d),
+                               np.asarray(ref["stage3"]["depth"]),
+                               rtol=1e-4, atol=1e-4)
