@@ -19,6 +19,17 @@ The stochastic thinning matches the statistic, not the MATLAB RNG stream
 
 ObsMask/Plane are read from the DTU SampleSet .mat files via
 scipy.io.loadmat (keys: ObsMask, BB, Res; P).
+
+Protocol validation (tests/test_eval_dtu.py — no DTU GT ships on this
+host, so the pinning is analytic):
+  * hand-computed acc/comp on a known grid configuration incl. the 20 mm
+    outlier cutoff, ObsMask bounds, and plane filter (exact to 1e-6);
+  * reducePts_haa's two invariants: kept points pairwise > dst apart AND
+    every dropped point within dst of a kept one (maximal independent
+    set) — the statistic the MATLAB randperm realizes;
+  * MATLAB round() half-away-from-zero voxel indexing at exact half-voxel
+    coordinates (np.round's half-to-even would mis-bin those points);
+  * NN distances vs brute force to 1e-6 and the 60 mm MaxDistCP cap.
 """
 from __future__ import annotations
 
@@ -88,9 +99,12 @@ def evaluate_scan(pred_ply_points: np.ndarray, stl_points: np.ndarray,
     dstl = nn_distances(qdata, stl_points, max_dist=60.0)
 
     if obs_mask is not None:
-        one = np.ones(len(qdata))
-        qv = np.round((qdata - np.asarray(bb)[0][None, :]) / res).astype(int)
-        # MATLAB is 1-based: Qv = round(...)+1 then 0 < Qv <= size checks
+        # MATLAB: Qv = round((Q - BB(1,:))/Res + 1), 1-based; round() is
+        # half-AWAY-FROM-ZERO (np.round is half-to-even — wrong at exact
+        # half-voxel coordinates), so use floor(x + 0.5): coordinates are
+        # >= 0 relative to the BB min corner. 0-based here (drop the +1).
+        qv = np.floor((qdata - np.asarray(bb)[0][None, :]) / res
+                      + 0.5).astype(int)
         in_bounds = ((qv >= 0).all(axis=1)
                      & (qv[:, 0] < obs_mask.shape[0])
                      & (qv[:, 1] < obs_mask.shape[1])

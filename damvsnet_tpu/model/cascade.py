@@ -115,10 +115,12 @@ class CascadeMVSNet(nn.Module):
                 for i in range(self.num_stage)
             ]
         elif self.share_cr:
-            self.cost_regularization = CostRegNet(base_channels=8)
+            self.cost_regularization = CostRegNet(base_channels=8,
+                                                  slab_axis=self.slab_axis)
         else:
             self.cost_regularization = [
                 CostRegNet(base_channels=self.cr_base_chs[i],
+                           slab_axis=self.slab_axis,
                            name=f"cost_reg_stage{i + 1}")
                 for i in range(self.num_stage)
             ]
@@ -167,9 +169,8 @@ class CascadeMVSNet(nn.Module):
                 mode=self.agg_mode, weight_fn=weight_fn, sampler=sampler,
                 sampler_opts=self.sampler_opts, return_overflow=True)
         if self.slab_axis is not None:
-            from jax.sharding import PartitionSpec as P
-            volume = jax.lax.with_sharding_constraint(
-                volume, P(None, self.slab_axis))
+            from ..parallel.mesh import slab_constraint
+            volume = slab_constraint(volume, self.slab_axis)
 
         if self.reg_mode == "georeg":
             cost_reg = self.cost_regularization[stage_idx](

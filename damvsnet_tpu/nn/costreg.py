@@ -22,20 +22,26 @@ from .blocks import Conv3dBlock, Deconv3dBlock, conv_transpose_torch
 
 class CostRegNet(nn.Module):
     base_channels: int = 8
+    slab_axis: str | None = None  # depth-slab mesh axis: every U-Net level
+    # is explicitly constrained (sharded while its D divides the axis,
+    # replicated below) so GSPMD plans the reshards instead of falling
+    # back to involuntary full rematerialization at the bottleneck
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from ..parallel.mesh import slab_constraint
         c = self.base_channels
-        conv0 = Conv3dBlock(c, 3, 1, padding=1)(x, train)
-        conv2 = Conv3dBlock(2 * c, 3, 2, padding=1)(conv0, train)
-        conv2 = Conv3dBlock(2 * c, 3, 1, padding=1)(conv2, train)
-        conv4 = Conv3dBlock(4 * c, 3, 2, padding=1)(conv2, train)
-        conv4 = Conv3dBlock(4 * c, 3, 1, padding=1)(conv4, train)
-        x = Conv3dBlock(8 * c, 3, 2, padding=1)(conv4, train)
-        x = Conv3dBlock(8 * c, 3, 1, padding=1)(x, train)
-        x = conv4 + Deconv3dBlock(4 * c, 3, 2, padding=1, output_padding=1)(x, train)
-        x = conv2 + Deconv3dBlock(2 * c, 3, 2, padding=1, output_padding=1)(x, train)
-        x = conv0 + Deconv3dBlock(c, 3, 2, padding=1, output_padding=1)(x, train)
+        slab = lambda t: slab_constraint(t, self.slab_axis)
+        conv0 = slab(Conv3dBlock(c, 3, 1, padding=1)(x, train))
+        conv2 = slab(Conv3dBlock(2 * c, 3, 2, padding=1)(conv0, train))
+        conv2 = slab(Conv3dBlock(2 * c, 3, 1, padding=1)(conv2, train))
+        conv4 = slab(Conv3dBlock(4 * c, 3, 2, padding=1)(conv2, train))
+        conv4 = slab(Conv3dBlock(4 * c, 3, 1, padding=1)(conv4, train))
+        x = slab(Conv3dBlock(8 * c, 3, 2, padding=1)(conv4, train))
+        x = slab(Conv3dBlock(8 * c, 3, 1, padding=1)(x, train))
+        x = slab(conv4 + Deconv3dBlock(4 * c, 3, 2, padding=1, output_padding=1)(x, train))
+        x = slab(conv2 + Deconv3dBlock(2 * c, 3, 2, padding=1, output_padding=1)(x, train))
+        x = slab(conv0 + Deconv3dBlock(c, 3, 2, padding=1, output_padding=1)(x, train))
         x = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False, dtype=get_compute_dtype(), name="prob")(x)
         return x  # [B, D, H, W, 1]
 

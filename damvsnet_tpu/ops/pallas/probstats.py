@@ -37,7 +37,10 @@ def _kernel(cost_ref, dv_ref, prob_ref, depth_ref, conf_ref, sigma_ref):
     depth = jnp.sum(prob * dv, axis=0, keepdims=True)  # [1, TN]
     depth_ref[:] = depth
 
-    d_iota = jax.lax.broadcasted_iota(jnp.float32, cost.shape, 0)
+    # Mosaic only lowers integer iota (f32 iota verifies in interpret mode
+    # but fails 'tpu.iota' verification on hardware) — iota i32, then cast.
+    d_iota = jax.lax.broadcasted_iota(
+        jnp.int32, cost.shape, 0).astype(jnp.float32)
     idx_f = jnp.sum(prob * d_iota, axis=0, keepdims=True)
     idx = jnp.clip(idx_f.astype(jnp.int32), 0, d - 1).astype(jnp.float32)
     window = ((d_iota >= idx - 1.0) & (d_iota <= idx + 2.0)).astype(prob.dtype)

@@ -79,6 +79,29 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def slab_constraint(x, axis: str | None, dim: int = 1):
+    """Depth-slab sharding constraint for cost volumes / U-Net levels.
+
+    Shards x's depth-hypothesis dim over `axis` when the context mesh
+    carries the axis and the dim divides by it; otherwise EXPLICITLY
+    replicates. The explicit replicate matters: at U-Net levels where the
+    stride-2 ladder shrinks D below the axis size, leaving the sharding to
+    inference makes GSPMD pick an incompatible spec and fall back to
+    "involuntary full rematerialization" (spmd_partitioner.cc warning);
+    an explicit constraint makes the reshard a planned all-gather."""
+    if axis is None:
+        return x
+    from jax.interpreters.pxla import thread_resources
+    mesh = thread_resources.env.physical_mesh
+    size = dict(mesh.shape).get(axis, 1) if not mesh.empty else 1
+    if size <= 1:
+        return x
+    spec = [None] * x.ndim
+    if x.shape[dim] % size == 0:
+        spec[dim] = axis
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def shard_batch(mesh: Mesh, batch, space_axes: dict | None = None):
     """Place a pytree batch on the mesh: leading axis over 'data'.
 
