@@ -82,12 +82,19 @@ def render_synthetic_views(height=128, width=160, nviews=3, seed=0):
 
 
 def make_synthetic_sample(height=128, width=160, nviews=3, ndepths=48,
-                          seed=0, with_gt=True):
+                          seed=0, with_gt=True, ref_view=None):
+    """One training sample. ref_view rotates which camera is the reference
+    (default: seed-derived) — like DTU's 49 ref views per scan, every rig
+    pose serves as reference, so the model never overfits to a canonical
+    reference pose."""
     scene = render_synthetic_views(height, width, nviews, seed)
-    imgs = scene["imgs"]
-    depth_full = scene["depths"][0]
+    if ref_view is None:
+        ref_view = seed % nviews
+    order = [ref_view] + [v for v in range(nviews) if v != ref_view]
+    imgs = scene["imgs"][order]
+    depth_full = scene["depths"][ref_view]
     projs = []
-    for v in range(nviews):
+    for v in order:
         proj = np.zeros((2, 4, 4), np.float32)
         proj[0] = scene["exts"][v]
         # stage-1 convention: cam files carry quarter-res K
@@ -96,8 +103,9 @@ def make_synthetic_sample(height=128, width=160, nviews=3, ndepths=48,
         proj[1, :3, :3] = k1
         projs.append(proj)
     projs = np.stack(projs)
-    depth_values = np.linspace(scene["dmin"], scene["dmax"], ndepths,
-                               dtype=np.float32)
+    dmin = float(scene["depths"][ref_view].min()) * 0.9
+    dmax = float(scene["depths"][ref_view].max()) * 1.1
+    depth_values = np.linspace(dmin, dmax, ndepths, dtype=np.float32)
 
     sample = {
         "imgs": imgs,

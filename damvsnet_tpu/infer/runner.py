@@ -34,9 +34,24 @@ class DepthRunner:
         self.log_fn = log_fn
         self.overflow_batches = 0
 
+        def trim(out):
+            # only what save_scene_depth writes — fetching the full output
+            # dict (prob volumes, per-stage depth_values) wastes host<->
+            # device bandwidth (the remote-tunnel link runs ~20 MB/s)
+            keep = {"depth": out["depth"],
+                    "photometric_confidence": out["photometric_confidence"],
+                    "sampler_overflow": out["sampler_overflow"]}
+            for s in ("stage1", "stage2"):
+                keep[s] = {
+                    "depth": out[s]["depth"],
+                    "photometric_confidence":
+                        out[s]["photometric_confidence"],
+                }
+            return keep
+
         def forward(variables, imgs, proj_matrices, depth_values, intrinsics):
-            return model.apply(variables, imgs, proj_matrices, depth_values,
-                               intrinsics, train=False)
+            return trim(model.apply(variables, imgs, proj_matrices,
+                                    depth_values, intrinsics, train=False))
 
         self._forward = jax.jit(forward)
         self._forward_xla = None
@@ -46,8 +61,19 @@ class DepthRunner:
             fallback = self.model.clone(sampler="xla")
 
             def forward(variables, imgs, proj_matrices, depth_values, intrinsics):
-                return fallback.apply(variables, imgs, proj_matrices,
-                                      depth_values, intrinsics, train=False)
+                out = fallback.apply(variables, imgs, proj_matrices,
+                                     depth_values, intrinsics, train=False)
+                return {
+                    "depth": out["depth"],
+                    "photometric_confidence": out["photometric_confidence"],
+                    "sampler_overflow": out["sampler_overflow"],
+                    "stage1": {"depth": out["stage1"]["depth"],
+                               "photometric_confidence":
+                                   out["stage1"]["photometric_confidence"]},
+                    "stage2": {"depth": out["stage2"]["depth"],
+                               "photometric_confidence":
+                                   out["stage2"]["photometric_confidence"]},
+                }
 
             self._forward_xla = jax.jit(forward)
         return self._forward_xla

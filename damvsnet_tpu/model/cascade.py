@@ -266,10 +266,19 @@ class CascadeMVSNet(nn.Module):
                 cur_depth = depth_values
                 cur_var = None
 
-            samples = uncertainty_aware_samples(
-                cur_depth, cur_var, self.ndepths[stage_idx], height, width)
-            samples = resize_trilinear_depth(
-                samples, (self.ndepths[stage_idx], stage_h, stage_w))
+            if cur_depth.ndim == 2:
+                # stage 1: uniform samples are spatially constant, so the
+                # full-res build + trilinear snap (cas_mvsnet.py:292-296)
+                # is exactly the direct stage-res build — skip the
+                # [B, D, H, W] full-res materialization (255 MB at eval)
+                samples = uncertainty_aware_samples(
+                    cur_depth, cur_var, self.ndepths[stage_idx],
+                    stage_h, stage_w)
+            else:
+                samples = uncertainty_aware_samples(
+                    cur_depth, cur_var, self.ndepths[stage_idx], height, width)
+                samples = resize_trilinear_depth(
+                    samples, (self.ndepths[stage_idx], stage_h, stage_w))
 
             pv_last_in = None
             if self.reg_mode == "georeg" and stage_idx >= 1:

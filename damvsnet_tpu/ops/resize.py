@@ -151,6 +151,12 @@ def resize_trilinear_depth(vol: jnp.ndarray, out_dhw, align_corners: bool = Fals
     """
     b, d, h, w = vol.shape
     d2, h2, w2 = out_dhw
-    vol = _axis_linear(vol, 1, d2, align_corners)
-    vol = _axis_linear(vol, 2, h2, align_corners)
-    return _axis_linear(vol, 3, w2, align_corners)
+    # same-size axes are exact identities under torch semantics — skip the
+    # take/lerp (stage-3 snap is fully identity at eval resolution)
+    if d2 != d:
+        vol = _axis_linear(vol, 1, d2, align_corners)
+    if h2 != h:
+        vol = _axis_linear(vol, 2, h2, align_corners)
+    if w2 != w:
+        vol = _axis_linear(vol, 3, w2, align_corners)
+    return vol

@@ -47,6 +47,8 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=4)
     p.add_argument("--epoch_len", type=int, default=256)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--conf", default="0.1,0.15,0.5",
+                   help="dypcd photo-mask confidence triplet")
     p.add_argument("--workdir", default=None)
     p.add_argument("--out", default="ACCURACY_r02.json")
     p.add_argument("--platform", default=None,
@@ -105,9 +107,12 @@ def main(argv=None):
     loader = DataLoader(train_ds, args.batch_size, shuffle=True, seed=1,
                         num_workers=2)
     steps_per_epoch = len(loader)
-    tx, _ = make_optimizer(args.lr, "3:2", steps_per_epoch, 0.0,
+    # decay x0.5 at 60% and 80% of the run (scaled reference recipe)
+    ms = f"{max(1, int(args.epochs * 0.6))},{max(2, int(args.epochs * 0.8))}:2"
+    tx, _ = make_optimizer(args.lr, ms, steps_per_epoch, 0.0,
                            warmup_iters=100)
     example = next(iter(DataLoader(train_ds, args.batch_size, num_workers=0)))
+    example = {k: v for k, v in example.items() if k != "filename"}
     state = create_train_state(model, jax.random.PRNGKey(1), example, tx)
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(state.params))
@@ -116,9 +121,14 @@ def main(argv=None):
 
     trainer = Trainer(model, state, logdir, use_cpc=True, summary_freq=20)
     losses = []
+
+    def arrays_only(batches):  # drop the filename template string
+        for b in batches:
+            yield {k: v for k, v in b.items() if k != "filename"}
+
     for epoch in range(args.epochs):
         t0 = time.time()
-        means = trainer.train_epoch(iter(loader))
+        means = trainer.train_epoch(arrays_only(loader))
         losses.append({k: round(float(v), 5) for k, v in means.items()})
         print(f"epoch {epoch}: {losses[-1]} ({time.time() - t0:.1f}s)",
               flush=True)
@@ -166,7 +176,8 @@ def main(argv=None):
           flush=True)
 
     # ---- 6. dypcd fusion -> PLY ----------------------------------------
-    dypcd_filter(datadir, outdir, [scan], conf=(0.1, 0.15, 0.6))
+    conf = tuple(float(x) for x in args.conf.split(","))
+    dypcd_filter(datadir, outdir, [scan], conf=conf)
     ply_path = os.path.join(outdir, f"{scan}.ply")
     pred_pts, _ = read_ply(ply_path)
     report["fusion"] = {"points": int(len(pred_pts))}
