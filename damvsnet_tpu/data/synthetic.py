@@ -151,14 +151,20 @@ def export_synthetic_scene(datapath, scan="scan_synth", height=128, width=160,
     for sub in ("images", "cams", "gt_depths"):
         os.makedirs(os.path.join(base, sub), exist_ok=True)
 
-    dmin, dmax = scene["dmin"], scene["dmax"]
-    interval = (dmax - dmin) / num_depth
     gt_points = []
     for v in range(nviews):
         img = (np.clip(scene["imgs"][v], 0, 1) * 255).astype(np.uint8)
         cv2.imwrite(os.path.join(base, f"images/{v:08d}.jpg"),
                     cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
                     [cv2.IMWRITE_JPEG_QUALITY, 98])
+        # PER-VIEW depth range (like DTU's per-view cam.txt ranges): the
+        # rig's far cameras see the plane over a wider depth span than
+        # view 0 — a shared view-0 range clips their sweep and caps the
+        # achievable accuracy monotonically in view index (the r2 bug:
+        # ACCURACY_r02 per-view error 2.5 -> 24.4 mm)
+        dmin = float(scene["depths"][v].min()) * 0.9
+        dmax = float(scene["depths"][v].max()) * 1.1
+        interval = (dmax - dmin) / num_depth
         write_cam_file(os.path.join(base, f"cams/{v:08d}_cam.txt"),
                        scene["intr"], scene["exts"][v], dmin, interval,
                        num_depth=num_depth, depth_max=dmax)

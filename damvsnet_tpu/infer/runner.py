@@ -41,7 +41,8 @@ class DepthRunner:
             keep = {"depth": out["depth"],
                     "photometric_confidence": out["photometric_confidence"],
                     "sampler_overflow": out["sampler_overflow"]}
-            for s in ("stage1", "stage2"):
+            for i in range(1, model.num_stage):
+                s = f"stage{i}"
                 keep[s] = {
                     "depth": out[s]["depth"],
                     "photometric_confidence":
@@ -49,33 +50,21 @@ class DepthRunner:
                 }
             return keep
 
-        def forward(variables, imgs, proj_matrices, depth_values, intrinsics):
-            return trim(model.apply(variables, imgs, proj_matrices,
+        def make_forward(m):
+            def forward(variables, imgs, proj_matrices, depth_values,
+                        intrinsics):
+                return trim(m.apply(variables, imgs, proj_matrices,
                                     depth_values, intrinsics, train=False))
+            return jax.jit(forward)
 
-        self._forward = jax.jit(forward)
+        self._make_forward = make_forward
+        self._forward = make_forward(model)
         self._forward_xla = None
 
     def _xla_forward(self):
         if self._forward_xla is None:
-            fallback = self.model.clone(sampler="xla")
-
-            def forward(variables, imgs, proj_matrices, depth_values, intrinsics):
-                out = fallback.apply(variables, imgs, proj_matrices,
-                                     depth_values, intrinsics, train=False)
-                return {
-                    "depth": out["depth"],
-                    "photometric_confidence": out["photometric_confidence"],
-                    "sampler_overflow": out["sampler_overflow"],
-                    "stage1": {"depth": out["stage1"]["depth"],
-                               "photometric_confidence":
-                                   out["stage1"]["photometric_confidence"]},
-                    "stage2": {"depth": out["stage2"]["depth"],
-                               "photometric_confidence":
-                                   out["stage2"]["photometric_confidence"]},
-                }
-
-            self._forward_xla = jax.jit(forward)
+            self._forward_xla = self._make_forward(
+                self.model.clone(sampler="xla"))
         return self._forward_xla
 
     def __call__(self, batch):
@@ -98,47 +87,57 @@ def _upsample_nearest_np(img, out_hw):
 
 def save_scene_depth(runner: DepthRunner, dataset, outdir: str,
                      batch_size: int = 1, log_fn=print):
-    """Run depth inference over a dataset and save reference-format outputs."""
+    """Run depth inference over a dataset and save reference-format outputs.
+
+    Returns (count, total_time, batch_times): batch_times[0] includes the
+    jit compile (minutes over the tunnel), so steady-state throughput is
+    ``sum(batch_times[1:]) / (count - batch_size)`` — callers reporting
+    sec/view should use that, not total_time / count.
+    """
     loader = DataLoader(dataset, batch_size=batch_size, shuffle=False,
                         drop_last=False, num_workers=2)
-    num_stage = 3
-    total_time = 0.0
+    num_stage = runner.model.num_stage
+    batch_times = []
     count = 0
     for batch in loader:
         t0 = time.time()
         outputs = runner({k: v for k, v in batch.items() if k != "filename"})
-        total_time += time.time() - t0
+        batch_times.append(time.time() - t0)
         count += batch["imgs"].shape[0]
         cams = batch["proj_matrices"][f"stage{num_stage}"]
         for i, filename in enumerate(batch["filename"]):
             depth_est = outputs["depth"][i]
             conf = outputs["photometric_confidence"][i]
             h, w = conf.shape
-            pc2 = _upsample_nearest_np(
-                outputs["stage2"]["photometric_confidence"][i], (h, w))
-            pc1 = _upsample_nearest_np(
-                outputs["stage1"]["photometric_confidence"][i], (h, w))
 
             paths = {
                 "depth": filename.format("depth_est", ".pfm"),
-                "depth2": filename.format("depth_est", "_stage2.pfm"),
-                "depth1": filename.format("depth_est", "_stage1.pfm"),
                 "conf": filename.format("confidence", ".pfm"),
-                "conf2": filename.format("confidence", "_stage2.pfm"),
-                "conf1": filename.format("confidence", "_stage1.pfm"),
                 "cam": filename.format("cams", "_cam.txt"),
                 "img": filename.format("images", ".jpg"),
             }
+            stage_outs = {}
+            for s in range(1, num_stage):
+                paths[f"depth{s}"] = filename.format("depth_est",
+                                                     f"_stage{s}.pfm")
+                paths[f"conf{s}"] = filename.format("confidence",
+                                                    f"_stage{s}.pfm")
+                # lower-stage confidence upsampled to full res (parity:
+                # test_uni.py:246-287)
+                stage_outs[s] = (
+                    outputs[f"stage{s}"]["depth"][i],
+                    _upsample_nearest_np(
+                        outputs[f"stage{s}"]["photometric_confidence"][i],
+                        (h, w)))
             for p in paths.values():
                 os.makedirs(os.path.join(outdir, os.path.dirname(p)), exist_ok=True)
             write_pfm(os.path.join(outdir, paths["depth"]), depth_est.astype(np.float32))
-            write_pfm(os.path.join(outdir, paths["depth2"]),
-                      outputs["stage2"]["depth"][i].astype(np.float32))
-            write_pfm(os.path.join(outdir, paths["depth1"]),
-                      outputs["stage1"]["depth"][i].astype(np.float32))
             write_pfm(os.path.join(outdir, paths["conf"]), conf.astype(np.float32))
-            write_pfm(os.path.join(outdir, paths["conf2"]), pc2.astype(np.float32))
-            write_pfm(os.path.join(outdir, paths["conf1"]), pc1.astype(np.float32))
+            for s, (dep_s, conf_s) in stage_outs.items():
+                write_pfm(os.path.join(outdir, paths[f"depth{s}"]),
+                          dep_s.astype(np.float32))
+                write_pfm(os.path.join(outdir, paths[f"conf{s}"]),
+                          conf_s.astype(np.float32))
             cam = cams[i, 0]
             write_cam_file(os.path.join(outdir, paths["cam"]),
                            cam[1, :3, :3], cam[0], 0.0, 0.0)
@@ -146,6 +145,10 @@ def save_scene_depth(runner: DepthRunner, dataset, outdir: str,
             import cv2
             cv2.imwrite(os.path.join(outdir, paths["img"]),
                         cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    total_time = sum(batch_times)
     if count:
-        log_fn(f"inference: {count} views, {total_time / count:.3f}s/view")
-    return count, total_time
+        steady = (sum(batch_times[1:]) / max(1, count - batch_size)
+                  if len(batch_times) > 1 else total_time / count)
+        log_fn(f"inference: {count} views, {steady:.3f}s/view steady "
+               f"(first batch {batch_times[0]:.1f}s incl. compile)")
+    return count, total_time, batch_times

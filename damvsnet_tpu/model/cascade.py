@@ -76,7 +76,11 @@ class CascadeMVSNet(nn.Module):
     # callers (infer/runner.py) can detect and redo with the XLA path
     stats_kernel: str = "auto"  # prob-volume stats tail: "xla" | "pallas"
     # (fused single-pass Pallas kernel, ops/pallas/probstats.py) | "auto"
-    # (pallas at inference on TPU, xla otherwise — stats have no VJP)
+    # (pallas at inference on TPU, xla otherwise — stats have no VJP).
+    # Even an explicit "pallas" is guarded by the train/is_initializing
+    # checks: the kernel has no VJP and flax init must not trace it.
+    stats_interpret: bool | None = None  # pallas interpret mode for the
+    # stats kernel; None inherits sampler_opts["interpret"]
     fmt_sp_axis: str | None = None  # mesh axis for sequence-parallel FMT
     # attention (parallel/fmt_sp.py): shard the (h*w) token axis; exact —
     # linear attention's KV summary reduces over tokens, so the "ring" is
@@ -182,14 +186,16 @@ class CascadeMVSNet(nn.Module):
         # softmax / soft-argmin always in fp32 (mixed-precision boundary);
         # at inference on TPU the four reductions run as one fused VMEM
         # pass (ops/pallas/probstats.py — no VJP, so training keeps XLA)
-        use_pallas_stats = self.stats_kernel == "pallas" or (
-            self.stats_kernel == "auto" and not train
-            and not self.is_initializing()
-            and jax.default_backend() == "tpu")
+        want_pallas_stats = self.stats_kernel == "pallas" or (
+            self.stats_kernel == "auto" and jax.default_backend() == "tpu")
+        use_pallas_stats = (want_pallas_stats and not train
+                            and not self.is_initializing())
         if use_pallas_stats:
             from ..ops.pallas.probstats import prob_volume_stats_pallas
-            interp = bool(self.sampler_opts
-                          and self.sampler_opts.get("interpret"))
+            interp = (bool(self.sampler_opts
+                           and self.sampler_opts.get("interpret"))
+                      if self.stats_interpret is None
+                      else self.stats_interpret)
             out = prob_volume_stats_pallas(cost_reg.astype(jnp.float32),
                                            depth_samples, interpret=interp)
         else:

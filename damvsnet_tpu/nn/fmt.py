@@ -45,11 +45,10 @@ def _sp_mesh_for(axis: str | None, seq_len: int):
     exists on the context mesh with size > 1 dividing the token count."""
     if axis is None:
         return None
-    from jax.interpreters.pxla import thread_resources
-    mesh = thread_resources.env.physical_mesh
-    size = dict(mesh.shape).get(axis, 1) if not mesh.empty else 1
+    from ..parallel.mesh import active_mesh, mesh_axis_size
+    size = mesh_axis_size(axis, warn_context="FMT sp_axis")
     if size > 1 and seq_len % size == 0:
-        return mesh
+        return active_mesh()
     return None
 
 

@@ -79,6 +79,47 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def active_mesh():
+    """The mesh governing the current trace, or None.
+
+    Checks the public ``jax.set_mesh`` context first
+    (``jax.sharding.get_abstract_mesh`` — safe both inside and outside jit
+    traces, unlike ``get_mesh``), then the legacy ``with mesh:`` context
+    (private ``thread_resources`` — wrapped so a JAX upgrade that removes
+    it degrades to public-context-only instead of crashing)."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is not None and getattr(mesh, "empty", True) is False:
+        return mesh
+    try:
+        from jax.interpreters.pxla import thread_resources
+        mesh = thread_resources.env.physical_mesh
+        if not mesh.empty:
+            return mesh
+    except Exception:
+        pass
+    return None
+
+
+_WARNED_AXES: set = set()
+
+
+def mesh_axis_size(axis: str, warn_context: str | None = None) -> int:
+    """Size of `axis` on the active mesh (1 if absent). When the caller
+    explicitly requested the axis but no active mesh carries it, the
+    silent fallback to unsharded execution is surfaced with one warning
+    per (context, axis)."""
+    mesh = active_mesh()
+    size = dict(mesh.shape).get(axis, 1) if mesh is not None else 1
+    if size <= 1 and warn_context and (warn_context, axis) not in _WARNED_AXES:
+        _WARNED_AXES.add((warn_context, axis))
+        import warnings
+        warnings.warn(
+            f"{warn_context}: mesh axis '{axis}' requested but the current "
+            "trace has no active mesh carrying it (enter `with mesh:` or "
+            "`jax.set_mesh(mesh)`) — running unsharded", stacklevel=3)
+    return size
+
+
 def slab_constraint(x, axis: str | None, dim: int = 1):
     """Depth-slab sharding constraint for cost volumes / U-Net levels.
 
@@ -91,9 +132,7 @@ def slab_constraint(x, axis: str | None, dim: int = 1):
     an explicit constraint makes the reshard a planned all-gather."""
     if axis is None:
         return x
-    from jax.interpreters.pxla import thread_resources
-    mesh = thread_resources.env.physical_mesh
-    size = dict(mesh.shape).get(axis, 1) if not mesh.empty else 1
+    size = mesh_axis_size(axis, warn_context="slab_constraint")
     if size <= 1:
         return x
     spec = [None] * x.ndim
