@@ -12,6 +12,21 @@ aggregate is written to HBM. The per-view warped volumes the XLA path
 materializes ([B, D, H, W, C] each — 0.5 GB/view at DTU stage 1) never
 exist; per-view HBM traffic drops to the banded source reads.
 
+Depth-group batching (the r3 speedup): each grid step processes G depth
+hypotheses (default 8) against ONE shared band DMA and one window
+computation, and the per-row bilinear x-resolve becomes a single wide
+matmul [WB, J*C]^T x [WB, G*XBLK] instead of G narrow ones. This is
+sound because the projected coordinate px(d) = (a*d + b) / (c*d + e) is
+a Moebius function of the hypothesis depth — monotone in d wherever the
+denominator z keeps its sign — so the union of the G depths' tap spans
+is exactly the hull of the two endpoint spans. A z sign change inside a
+group (a hypothesis crossing the source camera plane — degenerate rig)
+breaks the monotonicity argument, so it raises the overflow flag and
+callers fall back to the XLA path. Measured on a v5e at DTU eval
+geometry, grouping took the three stages from 127/166/128 ms to well
+under half (per-step fixed costs — window math, DMA issue, small-matmul
+latency — dominated at G=1; see PERF.md).
+
 The AggWeightNet (two 1x1x1 conv+BN+relu stages, C->1->1,
 /root/reference/models/module.py:544-563) collapses at inference into the
 w1/b1/w2/b2 affine form above (BN running stats folded into the conv
@@ -26,8 +41,9 @@ f32 regardless of feature dtype (matches the XLA path's f32 weight net).
 Inference-only (no VJP) — training uses the XLA path.
 
 Band-coverage contract, overflow flag, and window-budget semantics are
-identical to sweep_sampler: wb/band_rows are usable spread budgets, the
-flag reports dropped taps, callers fall back to XLA on overflow.
+identical to sweep_sampler: wb/band_rows are usable spread budgets (the
+group's extra disparity drift counts against wb), the flag reports
+dropped taps, callers fall back to XLA on overflow.
 """
 from __future__ import annotations
 
@@ -46,12 +62,13 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, src_ref, ref_ref, w1_ref,
             out_ref, of_ref,
             band, sem, carry, acc,
-            *, H, W, HP, WP, C, D, V, XBLK, WB, J, WBP, JP, NYB, NXB, L,
+            *, H, W, HP, WP, C, DG, G, V, XBLK, WB, J, WBP, JP, NYB, NXB, L,
             sx, ox, sy, oy, out_dtype):
     pid = pl.program_id(0)
     nsteps = pl.num_programs(0)
     AY = 128 // C
     jc = J * C
+    GX = G * XBLK
 
     def decomp(step):
         v = step % V
@@ -60,13 +77,17 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, src_ref, ref_ref, w1_ref,
         t = t // NXB
         yb = t % NYB
         t = t // NYB
-        di = t % D
-        b = t // D
-        return b, di, yb, xb, v
+        dg = t % DG
+        b = t // DG
+        return b, dg, yb, xb, v
 
-    def pxpy_of(dv, b, v, y, xb):
-        xf = jax.lax.broadcasted_iota(jnp.int32, (1, XBLK), 1).astype(
-            jnp.float32) + (xb.astype(jnp.float32) * XBLK)
+    def pxpy_z(dv, b, v, y, xb, n):
+        """Projected coords for one output row over n lanes; dv [1, n] f32
+        (n = XBLK for span endpoints, G*XBLK for the wide resolve, where
+        lane g*XBLK+i carries hypothesis g at pixel xb*XBLK+i)."""
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        xf = jax.lax.rem(lane, XBLK).astype(jnp.float32) + (
+            xb.astype(jnp.float32) * XBLK)
         yf = y.astype(jnp.float32)
         g = lambda k: geom_ref[v, b, k]
         nx = (g(0) * xf + (g(1) * yf + g(2))) * dv + g(9)
@@ -74,30 +95,45 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, src_ref, ref_ref, w1_ref,
         z = (g(6) * xf + (g(7) * yf + g(8))) * dv + g(11)
         px = nx / z * sx + ox
         py = ny / z * sy + oy
-        return px, py
+        return px, py, z
 
-    def row_span(px, py):
+    def group_row_span(b, v, y, xb, dv_row):
+        """Union tap span over the row's G hypotheses: hull of the two
+        endpoint spans (px/py are monotone in depth between them), plus
+        a z-sign-change flag that voids the monotonicity argument."""
+        px0, py0, z0 = pxpy_z(dv_row[:, :XBLK], b, v, y, xb, XBLK)
+        px1, py1, z1 = pxpy_z(dv_row[:, GX - XBLK:], b, v, y, xb, XBLK)
         lane_ok = jax.lax.broadcasted_iota(jnp.int32, (1, XBLK), 1) < W
-        semi = (jnp.isfinite(px) & jnp.isfinite(py)
-                & (px > -1.0) & (px < W) & (py > -1.0) & (py < H) & lane_ok)
+        zcross = lane_ok & (z0 * z1 <= 0.0)
+        fin = (jnp.isfinite(px0) & jnp.isfinite(py0)
+               & jnp.isfinite(px1) & jnp.isfinite(py1))
+        pxlo = jnp.minimum(px0, px1)
+        pxhi = jnp.maximum(px0, px1)
+        pylo = jnp.minimum(py0, py1)
+        pyhi = jnp.maximum(py0, py1)
+        semi = (fin & ~zcross & (pxhi > -1.0) & (pxlo < W)
+                & (pyhi > -1.0) & (pylo < H) & lane_ok)
         big = jnp.float32(1e9)
-        xmin = jnp.clip(jnp.min(jnp.where(semi, px, big)), -1.0, W * 1.0)
-        ymin = jnp.clip(jnp.min(jnp.where(semi, py, big)), -1.0, H * 1.0)
-        xmax = jnp.clip(jnp.max(jnp.where(semi, px, -big)), -1.0, W * 1.0)
-        ymax = jnp.clip(jnp.max(jnp.where(semi, py, -big)), -1.0, H * 1.0)
+        xmin = jnp.clip(jnp.min(jnp.where(semi, pxlo, big)), -1.0, W * 1.0)
+        ymin = jnp.clip(jnp.min(jnp.where(semi, pylo, big)), -1.0, H * 1.0)
+        xmax = jnp.clip(jnp.max(jnp.where(semi, pxhi, -big)), -1.0, W * 1.0)
+        ymax = jnp.clip(jnp.max(jnp.where(semi, pyhi, -big)), -1.0, H * 1.0)
         return (jnp.floor(ymin).astype(jnp.int32),
                 jnp.floor(xmin).astype(jnp.int32),
                 jnp.minimum(jnp.floor(ymax).astype(jnp.int32) + 1, H - 1),
-                jnp.minimum(jnp.floor(xmax).astype(jnp.int32) + 1, W - 1))
+                jnp.minimum(jnp.floor(xmax).astype(jnp.int32) + 1, W - 1),
+                jnp.max(zcross.astype(jnp.int32)))
 
-    def stage_step(step, slot, dv2d):
-        """Window math + band DMA for one (cell, view) step (see
-        sweep_sampler._kernel.stage_cell)."""
-        b, di, yb, xb, v = decomp(step)
+    def stage_step(step, slot, dv_blk):
+        """Window math + band DMA for one (cell, view) step; dv_blk is the
+        step's packed depth block [NY, G*XBLK]."""
+        b, dg, yb, xb, v = decomp(step)
         spans = []
+        of = jnp.int32(0)
         for r in range(NY):
-            px, py = pxpy_of(dv2d[r:r + 1], b, v, yb * NY + r, xb)
-            spans.append(row_span(px, py))
+            s = group_row_span(b, v, yb * NY + r, xb, dv_blk[r:r + 1])
+            spans.append(s[:4])
+            of = of | s[4]
         ymin_c = spans[0][0]
         xmin_c = spans[0][1]
         for r in range(1, NY):
@@ -105,7 +141,6 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, src_ref, ref_ref, w1_ref,
             xmin_c = jnp.minimum(xmin_c, spans[r][1])
         ybase_c = jnp.clip(ymin_c, 0, HP - JP) // AY * AY
         xbase_c = jnp.clip(xmin_c, 0, WP - WBP) // 8 * 8
-        of = jnp.int32(0)
         for r in range(NY):
             ymin, xmin, ytop, xtop = spans[r]
             ybase_r = jnp.clip(jnp.clip(ymin, 0, HP - J) // AY * AY,
@@ -134,7 +169,7 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, src_ref, ref_ref, w1_ref,
         stage_step(ahead, ahead % L, dvn_ref[0, 0])
 
     cur = pid % L
-    b, di, yb, xb, v = decomp(pid)
+    b, dg, yb, xb, v = decomp(pid)
     ybase_c = carry[cur, 2 * NY]
     xbase_c = carry[cur, 2 * NY + 1]
 
@@ -151,7 +186,7 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, src_ref, ref_ref, w1_ref,
 
     mm_prec = (_HIGHEST if band.dtype == jnp.float32
                else jax.lax.Precision.DEFAULT)
-    o_iota = jax.lax.broadcasted_iota(jnp.int32, (WB, XBLK), 0)
+    o_iota = jax.lax.broadcasted_iota(jnp.int32, (WB, GX), 0)
     b1 = scal_ref[0]
     w2 = scal_ref[1]
     b2 = scal_ref[2]
@@ -159,7 +194,7 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, src_ref, ref_ref, w1_ref,
     w1 = w1_ref[:]  # [C, 1] f32, broadcasts over lanes
 
     for r in range(NY):
-        px, py = pxpy_of(dv_ref[0, 0, r:r + 1], b, v, yb * NY + r, xb)
+        px, py, _ = pxpy_z(dv_ref[0, 0, r:r + 1], b, v, yb * NY + r, xb, GX)
         yoff = carry[cur, 2 * r]
         xoff = carry[cur, 2 * r + 1]
         ybase_r = ybase_c + yoff
@@ -171,15 +206,15 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, src_ref, ref_ref, w1_ref,
         pxc = jnp.where(fin, jnp.clip(px, -2.0, W + 1.0), -2.0)
         o_ids = o_iota + xbase_r
         wxt = jnp.maximum(0.0, 1.0 - jnp.abs(pxc - o_ids.astype(jnp.float32)))
-        wxt = jnp.where(o_ids <= W - 1, wxt, 0.0)  # [WB, XBLK]
+        wxt = jnp.where(o_ids <= W - 1, wxt, 0.0)  # [WB, G*XBLK]
         warp_jc = jax.lax.dot_general(
             sub, wxt.astype(band.dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=mm_prec)  # [J*C, XBLK]
+            precision=mm_prec)  # [J*C, G*XBLK]
 
         pyc = jnp.where(fin, jnp.clip(py, -2.0, H + 1.0), -2.0)
-        warp = jnp.zeros((C, XBLK), jnp.float32)
+        warp = jnp.zeros((C, GX), jnp.float32)
         for j in range(J):
             row = ybase_r + j
             m = jnp.maximum(
@@ -187,12 +222,15 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, src_ref, ref_ref, w1_ref,
             m = jnp.where(row <= H - 1, m, 0.0)
             warp = warp + m * warp_jc[j * C:(j + 1) * C, :]
 
-        # adaptive aggregation on the tile: diff^2, folded weight net,
-        # (w+1)*diff^2 accumulated over views in the f32 VMEM accumulator
-        ref_tile = ref_ref[0, r * C:(r + 1) * C, :].astype(jnp.float32)
+        # adaptive aggregation on the wide tile: diff^2, folded weight
+        # net, (w+1)*diff^2 accumulated over views in the f32 accumulator.
+        # ref is hypothesis-independent: one [C, XBLK] tile repeated G
+        # times along lanes.
+        ref_row = ref_ref[0, r * C:(r + 1) * C, :].astype(jnp.float32)
+        ref_tile = jnp.concatenate([ref_row] * G, axis=1)  # [C, G*XBLK]
         diff = ref_tile - warp
-        diff2 = diff * diff  # [C, XBLK]
-        s = jnp.sum(diff2 * w1, axis=0, keepdims=True)  # [1, XBLK]
+        diff2 = diff * diff
+        s = jnp.sum(diff2 * w1, axis=0, keepdims=True)  # [1, G*XBLK]
         wgt = jnp.maximum(w2 * jnp.maximum(s + b1, 0.0) + b2, 0.0)
         contrib = (wgt + 1.0) * diff2
 
@@ -206,19 +244,22 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, src_ref, ref_ref, w1_ref,
 
     @pl.when(v == V - 1)
     def _():
-        out_ref[0, 0] = (acc[:] * inv_nm1).astype(out_dtype)
+        for g in range(G):
+            out_ref[0, g] = (acc[:, g * XBLK:(g + 1) * XBLK]
+                             * inv_nm1).astype(out_dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("wb", "band_rows", "xblk", "align_corners", "lookahead",
-                     "packed", "interpret"))
+                     "depth_group", "packed", "interpret"))
 def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
                            ref_packed: jnp.ndarray,
                            depth_values: jnp.ndarray,
                            w1: jnp.ndarray, scalars: jnp.ndarray, *,
                            wb: int = 192, band_rows: int = 16, xblk: int = 128,
                            align_corners: bool = False, lookahead: int = 2,
+                           depth_group: int = 8,
                            packed: bool = False, interpret: bool = False):
     """src_stack [V, B, H, W, C]; geom [V, B, 12]; ref_packed [B, H*C, W];
     depth_values [B, D, H, W] f32; w1 [C, 1] f32; scalars [4] f32 =
@@ -230,13 +271,16 @@ def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
                          "use the XLA path instead")
     ay = 128 // c
     xblk = xblk if w >= xblk else w
+    # largest divisor of D within the depth_group budget
+    g = max(k for k in range(1, min(depth_group, d) + 1) if d % k == 0)
+    dg = d // g
     wbv = min(_round_up(wb + 7, 8), _round_up(w, 8))
     j = min(_round_up(band_rows + ay - 1, ay), _round_up(h, ay))
     wbp = wbv + 32
     jp = j + _round_up(NY + ay, ay)
     nxb = pl.cdiv(w, xblk)
     nyb = h // NY
-    nsteps = b * d * nyb * nxb * v
+    nsteps = b * dg * nyb * nxb * v
     sx, ox = _affine(w, align_corners)
     sy, oy = _affine(h, align_corners)
 
@@ -247,13 +291,20 @@ def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
         src_packed,
         jnp.transpose(src_stack, (0, 1, 3, 2, 4)).reshape(v, b, w, h * c),
         (0, 0, 0, 0))
+    # pack hypotheses along lanes: dvals[b, dg, y, (xb*G + gi)*XBLK + i]
+    # = depth_values[b, dg*G + gi, y, xb*XBLK + i] so each grid step reads
+    # its row's G hypotheses as one contiguous [1, G*XBLK] vector
+    wpad = nxb * xblk
     dvals = depth_values.astype(jnp.float32)
+    dvals = jnp.pad(dvals, ((0, 0), (0, 0), (0, 0), (0, wpad - w)))
+    dvals = dvals.reshape(b, dg, g, h, nxb, xblk).transpose(0, 1, 3, 4, 2, 5)
+    dvals = dvals.reshape(b, dg, h, nxb * g * xblk)
 
     lkh = max(2, min(lookahead, nsteps))
     out_dtype = src_stack.dtype
     kern = functools.partial(
-        _kernel, H=h, W=w, HP=hp, WP=wp, C=c, D=d, V=v, XBLK=xblk, WB=wbv,
-        J=j, WBP=wbp, JP=jp, NYB=nyb, NXB=nxb, L=lkh,
+        _kernel, H=h, W=w, HP=hp, WP=wp, C=c, DG=dg, G=g, V=v, XBLK=xblk,
+        WB=wbv, J=j, WBP=wbp, JP=jp, NYB=nyb, NXB=nxb, L=lkh,
         sx=sx, ox=ox, sy=sy, oy=oy, out_dtype=out_dtype)
 
     def cell_of(i):
@@ -262,7 +313,7 @@ def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
         t = t // nxb
         yb = t % nyb
         t = t // nyb
-        return t // d, t % d, yb, xb  # (b, di, yb, xb)
+        return t // dg, t % dg, yb, xb  # (b, dgi, yb, xb)
 
     def dv_idx(i):
         return cell_of(i)
@@ -274,12 +325,16 @@ def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
         bb, _, yb, xb = cell_of(i)
         return bb, yb, xb
 
+    def out_idx(i):
+        bb, dgi, yb, xb = cell_of(i)
+        return bb, dgi, yb, xb
+
     volume, overflow = pl.pallas_call(
         kern,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, 1, NY, xblk), dv_idx),
-            pl.BlockSpec((1, 1, NY, xblk), dv_next_idx),
+            pl.BlockSpec((1, 1, NY, g * xblk), dv_idx),
+            pl.BlockSpec((1, 1, NY, g * xblk), dv_next_idx),
             pl.BlockSpec(memory_space=pltpu.SMEM),        # geom [V, B, 12]
             pl.BlockSpec(memory_space=pltpu.SMEM),        # scalars [4]
             pl.BlockSpec(memory_space=pltpu.HBM),         # src_packed
@@ -287,7 +342,7 @@ def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.VMEM),        # w1 [C, 1]
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, NY * c, xblk), cell_of),
+            pl.BlockSpec((1, g, NY * c, xblk), out_idx),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
@@ -298,7 +353,7 @@ def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
             pltpu.VMEM((lkh, wbp, jp * c), src_stack.dtype),
             pltpu.SemaphoreType.DMA((lkh,)),
             pltpu.SMEM((lkh, 2 * NY + 3), jnp.int32),
-            pltpu.VMEM((NY * c, xblk), jnp.float32),
+            pltpu.VMEM((NY * c, g * xblk), jnp.float32),
         ],
         interpret=interpret,
     )(dvals, dvals, geom, scalars, src_packed, ref_packed, w1)
@@ -311,7 +366,7 @@ def fused_adaptive_cost_volume(ref_fea, src_feas, ref_proj, src_projs,
                                depth_values, w1, b1, w2, b2,
                                align_corners: bool = False,
                                wb: int = 192, band_rows: int = 16,
-                               lookahead: int = 2,
+                               lookahead: int = 2, depth_group: int = 8,
                                interpret: bool = False):
     """Drop-in for ops.costvol.build_cost_volume(mode="adaptive") at
     inference on TPU. ref_fea [B,H,W,C]; src_feas: list of [B,H,W,C];
@@ -334,4 +389,4 @@ def fused_adaptive_cost_volume(ref_fea, src_feas, ref_proj, src_projs,
     return _fused_adaptive_volume(
         src_stack, geom, ref_packed, depth_values, w1v, scalars,
         wb=wb, band_rows=band_rows, align_corners=align_corners,
-        lookahead=lookahead, interpret=interpret)
+        lookahead=lookahead, depth_group=depth_group, interpret=interpret)

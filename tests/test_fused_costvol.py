@@ -75,6 +75,30 @@ def test_fused_volume_matches_xla(rng, wnet, per_pixel):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
 
 
+@pytest.mark.parametrize("dd,grp", [(12, 8), (5, 8), (4, 1)])
+def test_fused_volume_depth_groups(rng, wnet, dd, grp):
+    """Depth-group batching: D=12/group=8 picks g=6 (largest divisor in
+    budget), D=5 runs whole-sweep groups, group=1 is the ungrouped path —
+    all must match the XLA oracle exactly like the default grouping."""
+    net, variables = wnet
+    projs = _fused_projs(V + 1)
+    ref_p, src_ps = projs[0], projs[1:]
+    feas = [jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+            for _ in range(V + 1)]
+    dv = jnp.asarray(np.linspace(4, 8, dd, dtype=np.float32)[None])
+
+    weight_fn = lambda vol: net.apply(variables, vol, False)
+    want = build_cost_volume(feas[0], feas[1:], ref_p, src_ps, dv,
+                             mode="adaptive", weight_fn=weight_fn,
+                             sampler="xla")
+    w1, b1, w2, b2 = fold_aggweight(variables)
+    got, overflow = fused_adaptive_cost_volume(
+        feas[0], feas[1:], ref_p, src_ps, dv, w1, b1, w2, b2,
+        wb=W, band_rows=H, depth_group=grp, interpret=True)
+    assert int(np.asarray(overflow).sum()) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
 def test_cascade_fused_matches_xla(rng):
     """Full-model wiring: sampler='pallas' (fused adaptive path, folded
     weights pulled from the bound submodule) vs sampler='xla'."""
