@@ -85,6 +85,10 @@ class CascadeMVSNet(nn.Module):
     # attention (parallel/fmt_sp.py): shard the (h*w) token axis; exact —
     # linear attention's KV summary reduces over tokens, so the "ring" is
     # one psum. Requires running under a Mesh carrying the axis.
+    costreg_depth_block: Any = "auto"  # depth-block repacking of the 3-D
+    # U-Nets (ops/depthblock.py): int block size, 0 = off, "auto" = 16 on
+    # TPU / off elsewhere. Exact — same params and math — so it applies
+    # to training and inference alike.
     slab_axis: str | None = None  # mesh axis name for depth-slab sharding
     # of the cost volume (SURVEY §5): the [B, D, H, W(, C)] volumes are
     # constrained to shard D over this axis; GSPMD inserts the halo
@@ -94,6 +98,11 @@ class CascadeMVSNet(nn.Module):
     @property
     def num_stage(self) -> int:
         return len(self.ndepths)
+
+    def _resolved_depth_block(self) -> int:
+        if self.costreg_depth_block == "auto":
+            return 16 if jax.default_backend() == "tpu" else 0
+        return int(self.costreg_depth_block)
 
     def setup(self):
         assert self.agg_mode in ("adaptive", "variance")
@@ -119,12 +128,14 @@ class CascadeMVSNet(nn.Module):
                 for i in range(self.num_stage)
             ]
         elif self.share_cr:
-            self.cost_regularization = CostRegNet(base_channels=8,
-                                                  slab_axis=self.slab_axis)
+            self.cost_regularization = CostRegNet(
+                base_channels=8, slab_axis=self.slab_axis,
+                depth_block=self._resolved_depth_block())
         else:
             self.cost_regularization = [
                 CostRegNet(base_channels=self.cr_base_chs[i],
                            slab_axis=self.slab_axis,
+                           depth_block=self._resolved_depth_block(),
                            name=f"cost_reg_stage{i + 1}")
                 for i in range(self.num_stage)
             ]

@@ -112,7 +112,13 @@ class Conv2dBlock(nn.Module):
 
 
 class Conv3dBlock(nn.Module):
-    """Conv3d (+BN+ReLU), NDHWC. Parity: models/module.py:117-159 / :227-234."""
+    """Conv3d (+BN+ReLU), NDHWC. Parity: models/module.py:117-159 / :227-234.
+
+    ``depth_blocks=(b_in, b_out)`` executes the conv depth-repacked
+    (ops/depthblock.py): input [B, D, H, W, C] is folded to
+    [B, D/b_in, H, W, b_in*C] so the matmul N dim is b_out*features
+    instead of features — exact, same parameters, MXU-friendly. BN/ReLU
+    always run in plain layout (per-channel statistics stay exact)."""
     features: int
     kernel_size: int | Sequence[int] = 3
     stride: int | Sequence[int] = 1
@@ -122,16 +128,35 @@ class Conv3dBlock(nn.Module):
     bn_momentum: float = BN_MOMENTUM
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, depth_blocks=None):
         k = _tuple(self.kernel_size, 3)
         p = _tuple(0 if self.padding is None else self.padding, 3)
-        x = nn.Conv(
+        s = _tuple(self.stride, 3)
+        conv = nn.Conv(
             self.features, k,
-            strides=_tuple(self.stride, 3),
+            strides=s,
             padding=[(pi, pi) for pi in p],
             use_bias=not self.bn,
             dtype=get_compute_dtype(),
-        )(x)
+        )
+        if depth_blocks is None:
+            x = conv(x)
+        else:
+            from ..ops.depthblock import conv3d_repacked, repack, unpack
+            b_in, b_out = depth_blocks
+            assert p[0] == (k[0] - 1) // 2 and s[1] == s[2], (k, p, s)
+            # bind the conv's params without running it on the full volume
+            # (the tiny-slice call is dead code XLA eliminates at run time)
+            _ = conv(x[:, :1, :1, :1, :])
+            params = conv.variables["params"]
+            cdt = get_compute_dtype() or x.dtype
+            y = conv3d_repacked(
+                repack(x.astype(cdt), b_in), params["kernel"],
+                block_in=b_in, block_out=b_out, stride_d=s[0],
+                stride_hw=s[1], pad_hw=p[1])
+            x = unpack(y, b_out)
+            if not self.bn:
+                x = x + params["bias"].astype(x.dtype)
         return _NormAct(self.bn, self.relu, self.bn_momentum)(x, train)
 
 
@@ -187,7 +212,11 @@ class Deconv2dBlock(nn.Module):
 
 
 class Deconv3dBlock(nn.Module):
-    """ConvTranspose3d (+BN+ReLU), torch semantics. Parity: module.py:161-202."""
+    """ConvTranspose3d (+BN+ReLU), torch semantics. Parity: module.py:161-202.
+
+    ``depth_blocks=(b_in, b_out)`` executes depth-repacked — see
+    Conv3dBlock; only the U-Net's k=3/stride=2/pad=1/out_pad=1 shape is
+    supported on that path."""
     features: int
     kernel_size: int | Sequence[int] = 3
     stride: int | Sequence[int] = 1
@@ -198,15 +227,27 @@ class Deconv3dBlock(nn.Module):
     bn_momentum: float = BN_MOMENTUM
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, depth_blocks=None):
         k = _tuple(self.kernel_size, 3)
         cin = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             k + (cin, self.features), jnp.float32)
         cdt = get_compute_dtype() or x.dtype
-        y = conv_transpose_torch(x.astype(cdt), kernel.astype(cdt), self.stride,
-                                 self.padding, self.output_padding)
+        if depth_blocks is not None:
+            from ..ops.depthblock import deconv3d_repacked, repack, unpack
+            b_in, b_out = depth_blocks
+            assert (k == (3, 3, 3) and _tuple(self.stride, 3) == (2, 2, 2)
+                    and _tuple(self.padding, 3) == (1, 1, 1)
+                    and _tuple(self.output_padding, 3) == (1, 1, 1))
+            y = deconv3d_repacked(
+                repack(x.astype(cdt), b_in), kernel.astype(cdt),
+                block_in=b_in, block_out=b_out)
+            y = unpack(y, b_out)
+        else:
+            y = conv_transpose_torch(x.astype(cdt), kernel.astype(cdt),
+                                     self.stride, self.padding,
+                                     self.output_padding)
         if not self.bn:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
                               jnp.float32)

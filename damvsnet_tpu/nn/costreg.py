@@ -26,23 +26,48 @@ class CostRegNet(nn.Module):
     # is explicitly constrained (sharded while its D divides the axis,
     # replicated below) so GSPMD plans the reshards instead of falling
     # back to involuntary full rematerialization at the bottleneck
+    depth_block: int = 0  # >0: execute every 3-D conv depth-repacked
+    # (ops/depthblock.py) — folds up to this many depth hypotheses into
+    # the channel axis so the narrow-channel convs (C=8..64, ~2% MXU at
+    # eval geometry) fill the 128-lane MXU. Exact: same parameters, same
+    # math up to float reassociation; works under autodiff and BN.
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         from ..parallel.mesh import slab_constraint
         c = self.base_channels
         slab = lambda t: slab_constraint(t, self.slab_axis)
-        conv0 = slab(Conv3dBlock(c, 3, 1, padding=1)(x, train))
-        conv2 = slab(Conv3dBlock(2 * c, 3, 2, padding=1)(conv0, train))
-        conv2 = slab(Conv3dBlock(2 * c, 3, 1, padding=1)(conv2, train))
-        conv4 = slab(Conv3dBlock(4 * c, 3, 2, padding=1)(conv2, train))
-        conv4 = slab(Conv3dBlock(4 * c, 3, 1, padding=1)(conv4, train))
-        x = slab(Conv3dBlock(8 * c, 3, 2, padding=1)(conv4, train))
-        x = slab(Conv3dBlock(8 * c, 3, 1, padding=1)(x, train))
-        x = slab(conv4 + Deconv3dBlock(4 * c, 3, 2, padding=1, output_padding=1)(x, train))
-        x = slab(conv2 + Deconv3dBlock(2 * c, 3, 2, padding=1, output_padding=1)(x, train))
-        x = slab(conv0 + Deconv3dBlock(c, 3, 2, padding=1, output_padding=1)(x, train))
-        x = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False, dtype=get_compute_dtype(), name="prob")(x)
+        lb = None
+        if self.depth_block:
+            from ..ops.depthblock import level_blocks
+            lb = level_blocks(x.shape[1], self.depth_block)
+        db = (lambda i, o: None) if lb is None else (
+            lambda i, o: (lb[i], lb[o]))
+        conv0 = slab(Conv3dBlock(c, 3, 1, padding=1)(x, train, db(0, 0)))
+        conv2 = slab(Conv3dBlock(2 * c, 3, 2, padding=1)(conv0, train, db(0, 1)))
+        conv2 = slab(Conv3dBlock(2 * c, 3, 1, padding=1)(conv2, train, db(1, 1)))
+        conv4 = slab(Conv3dBlock(4 * c, 3, 2, padding=1)(conv2, train, db(1, 2)))
+        conv4 = slab(Conv3dBlock(4 * c, 3, 1, padding=1)(conv4, train, db(2, 2)))
+        x = slab(Conv3dBlock(8 * c, 3, 2, padding=1)(conv4, train, db(2, 3)))
+        x = slab(Conv3dBlock(8 * c, 3, 1, padding=1)(x, train, db(3, 3)))
+        x = slab(conv4 + Deconv3dBlock(4 * c, 3, 2, padding=1, output_padding=1)(x, train, db(3, 2)))
+        x = slab(conv2 + Deconv3dBlock(2 * c, 3, 2, padding=1, output_padding=1)(x, train, db(2, 1)))
+        x = slab(conv0 + Deconv3dBlock(c, 3, 2, padding=1, output_padding=1)(x, train, db(1, 0)))
+        prob = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False,
+                       dtype=get_compute_dtype(), name="prob")
+        if lb is None:
+            x = prob(x)
+        else:
+            # XLA lowers a Cout=1 conv3d as a window reduce — measured 7.8 ms
+            # for 259 MFLOP on chip (30x off even the VPU's roofline).
+            # Repack it like the rest of the ladder: Cout becomes lb[0].
+            from ..ops.depthblock import conv3d_repacked, repack, unpack
+            _ = prob(x[:, :1, :1, :1, :])  # bind params; dead code at run
+            k = prob.variables["params"]["kernel"]  # [3, 3, 3, C, 1]
+            cdt = x.dtype
+            x = unpack(conv3d_repacked(
+                repack(x, lb[0]), k.astype(cdt), block_in=lb[0],
+                block_out=lb[0], stride_d=1, stride_hw=1, pad_hw=1), lb[0])
         return x  # [B, D, H, W, 1]
 
 
