@@ -124,20 +124,22 @@ def slab_constraint(x, axis: str | None, dim: int = 1):
     """Depth-slab sharding constraint for cost volumes / U-Net levels.
 
     Shards x's depth-hypothesis dim over `axis` when the context mesh
-    carries the axis and the dim divides by it; otherwise EXPLICITLY
-    replicates. The explicit replicate matters: at U-Net levels where the
-    stride-2 ladder shrinks D below the axis size, leaving the sharding to
-    inference makes GSPMD pick an incompatible spec and fall back to
-    "involuntary full rematerialization" (spmd_partitioner.cc warning);
-    an explicit constraint makes the reshard a planned all-gather."""
+    carries the axis and the dim divides by it; when it doesn't divide
+    (the stride-2 ladder shrinks D below the axis size) the dim is
+    EXPLICITLY replicated so GSPMD plans an all-gather instead of falling
+    back to "involuntary full rematerialization" (spmd_partitioner.cc
+    warning). Every OTHER dim is left UNCONSTRAINED — pinning them to
+    None would force batch replication, which (a) all-gathers the
+    data-sharded batch mid-model and (b) makes the backward pass psum a
+    computation that the forced forward replicated, scaling gradients by
+    the data-axis size (reproduced: exactly 4x on a data=4 mesh)."""
     if axis is None:
         return x
     size = mesh_axis_size(axis, warn_context="slab_constraint")
     if size <= 1:
         return x
-    spec = [None] * x.ndim
-    if x.shape[dim] % size == 0:
-        spec[dim] = axis
+    spec = [P.UNCONSTRAINED] * x.ndim
+    spec[dim] = axis if x.shape[dim] % size == 0 else None
     return jax.lax.with_sharding_constraint(x, P(*spec))
 
 

@@ -57,6 +57,69 @@ def test_dryrun_multichip():
 
 
 @pytest.mark.slow
+def test_slab_train_step_parity():
+    """One training step under the (data x space) mesh with depth-slab
+    sharding at a REAL depth ladder (D=64 -> the U-Net's 64/32/16/8
+    levels all divide the slab axis), vs the same step unsharded.
+
+    The round-2 dryrun used D=8 at 32x32, which cannot see D-axis halo
+    bugs in the deeper U-Net levels: with space=2 every stride-2 level
+    needs a GSPMD halo exchange for its 3-tap depth conv. Loss must
+    match the unsharded step; no framework warnings (the mesh helpers
+    warn visibly when a requested axis is missing) may fire."""
+    import sys
+    import warnings
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _example_batch
+    from damvsnet_tpu.losses import cas_mvsnet_loss
+    from damvsnet_tpu.model import CascadeMVSNet
+    from damvsnet_tpu.parallel import make_mesh, shard_batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model = CascadeMVSNet(ndepths=(64, 32, 8), slab_axis="space",
+                          use_geo_fusion=False)
+    batch = _example_batch(batch=4, nviews=2, height=64, width=96, d0=64)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
+        batch["depth_values"], batch["intrinsics_matrices"], train=False)
+
+    def step(m):
+        def fn(params, batch):
+            def loss_fn(p):
+                out, _ = m.apply(
+                    {"params": p, "batch_stats": variables["batch_stats"]},
+                    batch["imgs"], batch["proj_matrices"],
+                    batch["depth_values"], batch["intrinsics_matrices"],
+                    train=True, mutable=["batch_stats"])
+                total, _, _ = cas_mvsnet_loss(
+                    out, batch["imgs"], batch["proj_matrices"],
+                    batch["depth"], batch["mask"], use_cpc=False)
+                return total
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            gn = sum(jnp.sum(x.astype(jnp.float32) ** 2)
+                     for x in jax.tree_util.tree_leaves(g))
+            return loss, jnp.sqrt(gn)
+        return jax.jit(fn)
+
+    l0, gn0 = jax.device_get(
+        step(model.clone(slab_axis=None))(variables["params"], batch))
+
+    mesh = make_mesh(data=4, space=2)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        with mesh:
+            params_repl = jax.device_put(variables["params"],
+                                         NamedSharding(mesh, P()))
+            l1, gn1 = jax.device_get(
+                step(model)(params_repl, shard_batch(mesh, batch)))
+    ours = [w for w in caught
+            if "damvsnet" in str(getattr(w, "filename", ""))]
+    assert not ours, [str(w.message) for w in ours]
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-3)
+    np.testing.assert_allclose(float(gn0), float(gn1), rtol=2e-2)
+
+
+@pytest.mark.slow
 def test_dp_gradient_equivalence():
     """Gradients from the GSPMD data-sharded step equal single-device
     gradients on the same batch (the correctness contract DDP provides in
