@@ -89,6 +89,9 @@ class CascadeMVSNet(nn.Module):
     # U-Nets (ops/depthblock.py): int block size, 0 = off, "auto" = 16 on
     # TPU / off elsewhere. Exact — same params and math — so it applies
     # to training and inference alike.
+    feature_height_block: Any = "auto"  # height-block repacking of the
+    # FeatureNet trunk/head convs (same machinery along H): int cap,
+    # 0 = off, "auto" = 16 on TPU / off elsewhere.
     slab_axis: str | None = None  # mesh axis name for depth-slab sharding
     # of the cost volume (SURVEY §5): the [B, D, H, W(, C)] volumes are
     # constrained to shard D over this axis; GSPMD inserts the halo
@@ -99,10 +102,14 @@ class CascadeMVSNet(nn.Module):
     def num_stage(self) -> int:
         return len(self.ndepths)
 
-    def _resolved_depth_block(self) -> int:
-        if self.costreg_depth_block == "auto":
+    @staticmethod
+    def _auto_block(setting) -> int:
+        if setting == "auto":
             return 16 if jax.default_backend() == "tpu" else 0
-        return int(self.costreg_depth_block)
+        return int(setting)
+
+    def _resolved_depth_block(self) -> int:
+        return self._auto_block(self.costreg_depth_block)
 
     def setup(self):
         assert self.agg_mode in ("adaptive", "variance")
@@ -111,6 +118,7 @@ class CascadeMVSNet(nn.Module):
             base_channels=self.base_channels,
             num_stage=self.num_stage,
             arch_mode=self.arch_mode,
+            height_block=self._auto_block(self.feature_height_block),
         )
         if self.use_geo_fusion:
             self.geo_fusion = GeoFeatureFusion(

@@ -88,7 +88,12 @@ class _NormAct(nn.Module):
 
 
 class Conv2dBlock(nn.Module):
-    """Conv2d (+BN+ReLU). Parity: models/module.py:28-68 / ConvBnReLU :206-213."""
+    """Conv2d (+BN+ReLU). Parity: models/module.py:28-68 / ConvBnReLU :206-213.
+
+    ``height_blocks=(b_in, b_out)`` executes the conv height-repacked
+    (ops/depthblock.py): [B, H, W, C] folded to [B, H/b_in, W, b_in*C] so
+    the matmul N dim is b_out*features — exact, same params; the image
+    encoders' narrow channel counts (8-32) otherwise strand the MXU."""
     features: int
     kernel_size: int | Sequence[int] = 3
     stride: int | Sequence[int] = 1
@@ -98,16 +103,32 @@ class Conv2dBlock(nn.Module):
     bn_momentum: float = BN_MOMENTUM
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, height_blocks=None):
         k = _tuple(self.kernel_size, 2)
         p = _tuple(0 if self.padding is None else self.padding, 2)
-        x = nn.Conv(
+        s = _tuple(self.stride, 2)
+        conv = nn.Conv(
             self.features, k,
-            strides=_tuple(self.stride, 2),
+            strides=s,
             padding=[(pi, pi) for pi in p],
             use_bias=not self.bn,
             dtype=get_compute_dtype(),
-        )(x)
+        )
+        if height_blocks is None:
+            x = conv(x)
+        else:
+            from ..ops.depthblock import conv2d_repacked, repack2d, unpack2d
+            b_in, b_out = height_blocks
+            assert p[0] == (k[0] - 1) // 2 and s[0] == s[1], (k, p, s)
+            _ = conv(x[:, :1, :1, :])  # bind params; dead code at run
+            params = conv.variables["params"]
+            cdt = get_compute_dtype() or x.dtype
+            y = conv2d_repacked(
+                repack2d(x.astype(cdt), b_in), params["kernel"],
+                block_in=b_in, block_out=b_out, stride=s[0], pad_w=p[1])
+            x = unpack2d(y, b_out)
+            if not self.bn:
+                x = x + params["bias"].astype(x.dtype)
         return _NormAct(self.bn, self.relu, self.bn_momentum)(x, train)
 
 
@@ -195,15 +216,27 @@ class Deconv2dBlock(nn.Module):
     bn_momentum: float = BN_MOMENTUM
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, height_blocks=None):
         k = _tuple(self.kernel_size, 2)
         cin = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             k + (cin, self.features), jnp.float32)
         cdt = get_compute_dtype() or x.dtype
-        y = conv_transpose_torch(x.astype(cdt), kernel.astype(cdt), self.stride,
-                                 self.padding, self.output_padding)
+        if height_blocks is not None:
+            from ..ops.depthblock import (deconv2d_repacked, repack2d,
+                                          unpack2d)
+            b_in, b_out = height_blocks
+            assert (k == (3, 3) and _tuple(self.stride, 2) == (2, 2)
+                    and _tuple(self.padding, 2) == (1, 1)
+                    and _tuple(self.output_padding, 2) == (1, 1))
+            y = unpack2d(deconv2d_repacked(
+                repack2d(x.astype(cdt), b_in), kernel.astype(cdt),
+                block_in=b_in, block_out=b_out), b_out)
+        else:
+            y = conv_transpose_torch(x.astype(cdt), kernel.astype(cdt),
+                                     self.stride, self.padding,
+                                     self.output_padding)
         if not self.bn:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
                               jnp.float32)

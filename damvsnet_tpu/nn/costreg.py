@@ -64,9 +64,9 @@ class CostRegNet(nn.Module):
             from ..ops.depthblock import conv3d_repacked, repack, unpack
             _ = prob(x[:, :1, :1, :1, :])  # bind params; dead code at run
             k = prob.variables["params"]["kernel"]  # [3, 3, 3, C, 1]
-            cdt = x.dtype
+            cdt = get_compute_dtype() or x.dtype  # match nn.Conv's cast
             x = unpack(conv3d_repacked(
-                repack(x, lb[0]), k.astype(cdt), block_in=lb[0],
+                repack(x.astype(cdt), lb[0]), k.astype(cdt), block_in=lb[0],
                 block_out=lb[0], stride_d=1, stride_hw=1, pad_hw=1), lb[0])
         return x  # [B, D, H, W, 1]
 

@@ -52,7 +52,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-KQ = 3  # block-axis kernel size (see module docstring)
+KQ = 3  # block-axis kernel size of the k=3 deconv plans (the conv plan
+# computes its own window size; see _placement_conv)
 
 
 def repack(x: jnp.ndarray, b: int) -> jnp.ndarray:
@@ -71,23 +72,55 @@ def unpack(x: jnp.ndarray, b: int) -> jnp.ndarray:
     return jnp.moveaxis(x, 4, 2).reshape(bb, dblk * b, h, w, c)
 
 
+def repack2d(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H//b, W, b*C]; slot-major channels."""
+    bb, h, w, c = x.shape
+    assert h % b == 0, (h, b)
+    x = x.reshape(bb, h // b, b, w, c)
+    return jnp.moveaxis(x, 2, 3).reshape(bb, h // b, w, b * c)
+
+
+def unpack2d(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    """Inverse of :func:`repack2d`."""
+    bb, hblk, w, bc = x.shape
+    c = bc // b
+    x = x.reshape(bb, hblk, w, b, c)
+    return jnp.moveaxis(x, 3, 2).reshape(bb, hblk * b, w, c)
+
+
 @functools.lru_cache(maxsize=None)
 def _placement_conv(b_in: int, b_out: int, kd: int, stride_d: int):
-    """P[d, q, ri, ro] for a strided conv with depth padding (kd-1)//2."""
+    """Block plan for a strided conv with depth padding (kd-1)//2.
+
+    Returns (p [kd, KQ_eff, b_in, b_out], pad_lo, pad_hi): the placement
+    tensor, with the block-axis window size KQ_eff and asymmetric block
+    padding computed so every original tap is representable (a fixed
+    KQ=3 silently drops the last slot's top tap for k=5/stride=2).
+    Window block q reads input block sblk*blk_out + q - pad_lo, so
+      d = b_in*(q - pad_lo) + ri - stride*ro + pad.
+    """
     pad = (kd - 1) // 2
-    p = np.zeros((kd, KQ, b_in, b_out), np.float32)
-    for q in range(KQ):
+    # conservative block-offset range o_q = q - pad_lo over all (d, ri, ro)
+    qlo = (0 - pad - (b_in - 1)) // b_in  # floor division
+    qhi = ((kd - 1) - pad + stride_d * (b_out - 1)) // b_in
+    kq = qhi - qlo + 1
+    p = np.zeros((kd, kq, b_in, b_out), np.float32)
+    for q in range(kq):
         for ri in range(b_in):
             for ro in range(b_out):
-                d = b_in * (q - 1) + ri - stride_d * ro + pad
+                d = b_in * (q + qlo) + ri - stride_d * ro + pad
                 if 0 <= d < kd:
                     p[d, q, ri, ro] = 1.0
-    return p
+    # trim window planes with no live taps
+    live = p.any(axis=(0, 2, 3))
+    first, last = int(np.argmax(live)), int(len(live) - np.argmax(live[::-1]) - 1)
+    p = p[:, first:last + 1]
+    return p, -(qlo + first), qhi - (kq - 1 - last)
 
 
 @functools.lru_cache(maxsize=None)
 def _placement_deconv(b_in: int, b_out: int, kd: int):
-    """P for torch ConvTranspose3d(k=kd, stride 2, pad 1, out_pad 1)."""
+    """P for torch ConvTranspose(k=kd, stride 2, pad 1, out_pad 1)."""
     p = np.zeros((kd, KQ, b_in, b_out), np.float32)
     for q in range(KQ):
         for ri in range(b_in):
@@ -104,12 +137,41 @@ def _placement_deconv(b_in: int, b_out: int, kd: int):
 
 
 def _block_kernel(w: jnp.ndarray, p: np.ndarray) -> jnp.ndarray:
-    """w [kd, kh, kw, Cin, Cout], p [kd, KQ, b_in, b_out] ->
-    [KQ, kh, kw, b_in*Cin, b_out*Cout] (slot-major channel layout)."""
-    kd, kh, kw, ci, co = w.shape
+    """w [kd, *k_sp, Cin, Cout], p [kd, KQ, b_in, b_out] ->
+    [KQ, *k_sp, b_in*Cin, b_out*Cout] (slot-major channel layout)."""
+    ci, co = w.shape[-2:]
+    sp = w.shape[1:-2]
+    w3 = w.reshape(w.shape[0], -1, ci, co)
     # slot-major channel grouping on BOTH sides: (r, i) and (s, o)
-    big = jnp.einsum("dhwio,dqrs->qhwriso", w, jnp.asarray(p))
-    return big.reshape(KQ, kh, kw, p.shape[2] * ci, p.shape[3] * co)
+    big = jnp.einsum("dkio,dqrs->qkriso", w3, jnp.asarray(p))
+    return big.reshape((p.shape[1],) + sp
+                       + (p.shape[2] * ci, p.shape[3] * co))
+
+
+def _conv_repacked(x, w, block_in, block_out, stride_blk_axis, strides_sp,
+                   pads_sp, dn):
+    """Shared body of conv{2,3}d_repacked: the repacked axis is the first
+    spatial axis of ``dn``."""
+    kd = w.shape[0]
+    p, pad_lo, qhi = _placement_conv(block_in, block_out, kd,
+                                     stride_blk_axis)
+    big = _block_kernel(w, p).astype(x.dtype)
+    sblk = stride_blk_axis * block_out // block_in
+    assert sblk * block_in == stride_blk_axis * block_out >= block_in, (
+        stride_blk_axis, block_in, block_out)
+    cnt_in = x.shape[1]
+    # original output size with pad (kd-1)//2:
+    d_in = cnt_in * block_in
+    d_out = (d_in + 2 * ((kd - 1) // 2) - kd) // stride_blk_axis + 1
+    cnt_out = -(-d_out // block_out)
+    assert cnt_out * block_out == d_out, (d_out, block_out)
+    pad_hi = sblk * (cnt_out - 1) + qhi - (cnt_in - 1)
+    return jax.lax.conv_general_dilated(
+        x, big,
+        window_strides=(sblk,) + strides_sp,
+        padding=((pad_lo, max(pad_hi, 0)),) + pads_sp,
+        dimension_numbers=dn,
+    )
 
 
 def conv3d_repacked(x: jnp.ndarray, w: jnp.ndarray, *, block_in: int,
@@ -121,18 +183,47 @@ def conv3d_repacked(x: jnp.ndarray, w: jnp.ndarray, *, block_in: int,
     layout). Depth padding is (kd-1)//2 (the U-Net's pad=1 for k=3).
     Returns [B, Dblk', H', W', block_out*Cout].
     """
+    return _conv_repacked(x, w, block_in, block_out, stride_d,
+                          (stride_hw, stride_hw),
+                          ((pad_hw, pad_hw), (pad_hw, pad_hw)),
+                          ("NDHWC", "DHWIO", "NDHWC"))
+
+
+def conv2d_repacked(x: jnp.ndarray, w: jnp.ndarray, *, block_in: int,
+                    block_out: int, stride: int, pad_w: int) -> jnp.ndarray:
+    """Strided 2-D conv with the HEIGHT axis repacked into channels.
+
+    x [B, Hblk, W, block_in*Cin]; w [kh, kw, Cin, Cout] (plain layout).
+    Height padding is (kh-1)//2 (torch 'same'-style, the FPN's 3/1 and
+    5/2 shapes); the W axis keeps the caller's stride/pad. Returns
+    [B, Hblk', W', block_out*Cout].
+    """
+    return _conv_repacked(x, w, block_in, block_out, stride, (stride,),
+                          ((pad_w, pad_w),), ("NHWC", "HWIO", "NHWC"))
+
+
+def _deconv_repacked(x, w, block_in, block_out, nsp, dn):
+    """Shared body of deconv{2,3}d_repacked (k=3/s=2/p=1/op=1 only);
+    ``nsp`` = number of non-block spatial axes."""
     kd = w.shape[0]
-    p = _placement_conv(block_in, block_out, kd, stride_d)
+    p = _placement_deconv(block_in, block_out, kd)
     big = _block_kernel(w, p).astype(x.dtype)
-    sblk = stride_d * block_out // block_in
-    assert sblk * block_in == stride_d * block_out >= block_in, (
-        stride_d, block_in, block_out)
+    if block_out == block_in:
+        # block count doubles: the block axis is a k3/s2/p1/op1 transposed
+        # conv — full-flip + lhs dilation on all axes
+        pads = ((1, 2),) * (nsp + 1)  # k-1-p, k-1-p+output_padding
+        flipped = big[(slice(None, None, -1),) * (nsp + 1)]
+        return jax.lax.conv_general_dilated(
+            x, flipped, window_strides=(1,) * (nsp + 1), padding=pads,
+            lhs_dilation=(2,) * (nsp + 1), dimension_numbers=dn)
+    # block count constant, block size doubles: the block axis is a plain
+    # stride-1 conv (placement already built in conv index convention);
+    # spatial axes are still transposed convs
+    pads = ((1, 1),) + ((1, 2),) * nsp
+    flipped = big[(slice(None),) + (slice(None, None, -1),) * nsp]
     return jax.lax.conv_general_dilated(
-        x, big,
-        window_strides=(sblk, stride_hw, stride_hw),
-        padding=((1, 1), (pad_hw, pad_hw), (pad_hw, pad_hw)),
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    )
+        x, flipped, window_strides=(1,) * (nsp + 1), padding=pads,
+        lhs_dilation=(1,) + (2,) * nsp, dimension_numbers=dn)
 
 
 def deconv3d_repacked(x: jnp.ndarray, w: jnp.ndarray, *, block_in: int,
@@ -140,27 +231,28 @@ def deconv3d_repacked(x: jnp.ndarray, w: jnp.ndarray, *, block_in: int,
     """Torch ConvTranspose3d(k=3, stride 2, pad 1, output_pad 1) on a
     repacked tensor (the U-Net's only deconv shape). x [B, Dblk, H, W,
     block_in*Cin]; w [3, 3, 3, Cin, Cout]. Output doubles D, H, W."""
-    kd = w.shape[0]
-    p = _placement_deconv(block_in, block_out, kd)
-    big = _block_kernel(w, p).astype(x.dtype)
-    if block_out == block_in:
-        # block count doubles: the block axis is a k3/s2/p1/op1 transposed
-        # conv — full-flip + lhs dilation on all three axes
-        pads = ((1, 2), (1, 2), (1, 2))  # k-1-p, k-1-p+output_padding
-        flipped = big[::-1, ::-1, ::-1]
-        return jax.lax.conv_general_dilated(
-            x, flipped, window_strides=(1, 1, 1), padding=pads,
-            lhs_dilation=(2, 2, 2), dimension_numbers=("NDHWC", "DHWIO",
-                                                       "NDHWC"))
-    # block count constant, block size doubles: the block axis is a plain
-    # stride-1 conv (placement already built in conv index convention);
-    # spatial axes are still transposed convs
-    pads = ((1, 1), (1, 2), (1, 2))
-    flipped = big[:, ::-1, ::-1]
-    return jax.lax.conv_general_dilated(
-        x, flipped, window_strides=(1, 1, 1), padding=pads,
-        lhs_dilation=(1, 2, 2), dimension_numbers=("NDHWC", "DHWIO",
-                                                   "NDHWC"))
+    return _deconv_repacked(x, w, block_in, block_out, 2,
+                            ("NDHWC", "DHWIO", "NDHWC"))
+
+
+def deconv2d_repacked(x: jnp.ndarray, w: jnp.ndarray, *, block_in: int,
+                      block_out: int) -> jnp.ndarray:
+    """Torch ConvTranspose2d(k=3, stride 2, pad 1, output_pad 1) with the
+    HEIGHT axis repacked. x [B, Hblk, W, block_in*Cin]; w [3, 3, Cin,
+    Cout]. Output doubles H and W."""
+    return _deconv_repacked(x, w, block_in, block_out, 1,
+                            ("NHWC", "HWIO", "NHWC"))
+
+
+def height_block(h: int, cout: int, cap: int = 16) -> int:
+    """Largest useful height-block size: enough slots to fill the 128-lane
+    MXU for ``cout`` output channels (the repacking FLOP multiplier is the
+    block size, so more than 128 lanes only wastes), bounded by the
+    power-of-two divisibility of ``h`` and ``cap``."""
+    pow2 = h & -h
+    want = 128 // max(1, min(128, cout))
+    want = 1 << (max(1, want).bit_length() - 1)  # round down to pow2
+    return max(1, min(cap, want, pow2))
 
 
 def level_blocks(d: int, block: int, num_levels: int = 4) -> list[int] | None:

@@ -1,0 +1,129 @@
+"""On-chip numerical parity of the Pallas inference kernels vs XLA.
+
+Round-2 lesson (PERF.md): Pallas interpret mode accepted f32 iota that
+Mosaic rejected on hardware — interpret-mode parity tests can lie. This
+script runs the REAL kernels on the TPU at the full DTU bench rig
+(1152x864, N=5, D=(64,32,8), bf16) and records max-abs-diffs between the
+fused Pallas forward (banded cost volume + fused prob stats) and the XLA
+forward for depth / confidence / sigma, plus the sampler overflow count.
+
+Numerics contract: /root/reference/models/module.py:297-332 (warp),
+:510-541 (CostRegNet), cas_mvsnet.py:64-87 (adaptive aggregation).
+bf16 features bound the expected divergence: the two paths round the
+warp matmul differently, so diffs up to ~1e-2 x value scale are the
+bf16 noise floor, not kernel bugs (tolerances asserted by the driver
+reading KERNEL_PARITY_r03.json).
+
+    timeout 7000 python scripts/kernel_parity_onchip.py
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_damvsnet"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from damvsnet_tpu.data.synthetic import make_synthetic_sample
+    from damvsnet_tpu.model import CascadeMVSNet
+
+    small = bool(os.environ.get("PARITY_SMALL"))
+    H, W, NV = (256, 320, 3) if small else (864, 1152, 5)
+    out_name = "KERNEL_PARITY_r03.json"
+
+    # geometrically consistent rig (random features make depth ill-posed;
+    # parity diffs would then be dominated by argmax flips between
+    # near-tied hypotheses instead of kernel numerics)
+    sample = make_synthetic_sample(height=H, width=W, nviews=NV, ndepths=192,
+                                   with_gt=False, seed=3)
+    batch = {
+        "imgs": jnp.asarray(sample["imgs"][None]),
+        "proj_matrices": {k: jnp.asarray(v[None])
+                          for k, v in sample["proj_matrices"].items()},
+        "depth_values": jnp.asarray(sample["depth_values"][None]),
+        "intrinsics_matrices": {k: jnp.asarray(v[None])
+                                for k, v in sample["intrinsics_matrices"].items()},
+    }
+    kw = dict(ndepths=(64, 32, 8), compute_dtype=jnp.bfloat16)
+    pall = CascadeMVSNet(sampler="pallas", stats_kernel="pallas", **kw)
+    xla = CascadeMVSNet(sampler="xla", stats_kernel="xla", **kw)
+
+    variables = jax.jit(pall.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
+        batch["depth_values"], batch["intrinsics_matrices"], train=False)
+
+    def run(model):
+        @jax.jit
+        def fwd(variables, imgs, proj, dvals, intr):
+            out = model.apply(variables, imgs, proj, dvals, intr, train=False)
+            keep = {"depth": out["depth"].astype(jnp.float32),
+                    "conf": out["photometric_confidence"].astype(jnp.float32),
+                    "sigma": out["variance"].astype(jnp.float32),
+                    "overflow": out["sampler_overflow"]}
+            for s in (1, 2):
+                keep[f"depth{s}"] = out[f"stage{s}"]["depth"].astype(
+                    jnp.float32)
+            return keep
+
+        t0 = time.time()
+        res = jax.device_get(fwd(batch_args[0], *batch_args[1:]))
+        return res, time.time() - t0
+
+    batch_args = (variables, batch["imgs"], batch["proj_matrices"],
+                  batch["depth_values"], batch["intrinsics_matrices"])
+
+    got, t_pallas = run(pall)
+    want, t_xla = run(xla)
+
+    depth_range = float(np.asarray(batch["depth_values"]).ptp())
+
+    def stats(key):
+        a, b = got[key], want[key]
+        d = np.abs(a - b)
+        return {"max_abs_diff": float(d.max()),
+                "mean_abs_diff": float(d.mean()),
+                "p999_abs_diff": float(np.quantile(d, 0.999))}
+
+    report = {
+        "config": {"H": H, "W": W, "nviews": NV, "ndepths": [64, 32, 8],
+                   "dtype": "bf16", "small": small},
+        "device": str(jax.devices()[0]),
+        "depth_range": depth_range,
+        "sampler_overflow": int(got["overflow"]),
+        "diffs": {k: stats(k) for k in
+                  ("depth", "conf", "sigma", "depth1", "depth2")},
+        "first_call_sec": {"pallas": round(t_pallas, 1),
+                           "xla": round(t_xla, 1)},
+    }
+    # the driver-checkable verdict: bf16-scale agreement, no dropped taps
+    tol_depth = max(1e-2, 2e-3 * depth_range)  # bf16 noise floor in depth
+    report["pass"] = bool(
+        report["sampler_overflow"] == 0
+        and report["diffs"]["depth"]["p999_abs_diff"] < tol_depth
+        and report["diffs"]["conf"]["max_abs_diff"] < 0.2
+        and report["diffs"]["sigma"]["p999_abs_diff"] < tol_depth * 3)
+    report["tol_depth"] = tol_depth
+
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), out_name)
+    with open(out_path, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps({"written": out_path, "pass": report["pass"],
+                      "overflow": report["sampler_overflow"],
+                      "depth_max_abs_diff":
+                          report["diffs"]["depth"]["max_abs_diff"]}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""On-chip parameter sweep for the fused cost-volume kernel.
+
+Times ops/pallas/fused_costvol.py per cascade stage at DTU eval geometry
+over (depth_group, wb, band_rows) combinations, reporting ms and the
+overflow flag (overflow => dropped taps => the config is invalid for that
+geometry and the runner would fall back to XLA). Use to pick the
+sampler_opts defaults.
+
+    timeout 3600 python scripts/tune_costvol.py
+"""
+import itertools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_damvsnet"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from __graft_entry__ import _example_batch
+    from damvsnet_tpu.model.cascade import fuse_projection_matrices
+    from damvsnet_tpu.ops.pallas.fused_costvol import fused_adaptive_cost_volume
+
+    small = bool(os.environ.get("TUNE_SMALL"))
+    H, W, NV = (256, 320, 3) if small else (864, 1152, 5)
+    D = (64, 32, 8)
+    FC = (32, 16, 8)
+    rs = np.random.default_rng(0)
+    batch = _example_batch(batch=1, nviews=NV, height=H, width=W, d0=192)
+    proj_full = {k: np.asarray(v) for k, v in batch["proj_matrices"].items()}
+    # the rig's REAL sweep range — a mismatched range projects off-screen
+    # and makes the overflow flag meaningless
+    dv_all = np.asarray(batch["depth_values"])[0]
+    dmin, dmax = float(dv_all[0]), float(dv_all[-1])
+
+    combos = [
+        dict(depth_group=8, wb=192, band_rows=16),   # current default
+        dict(depth_group=16, wb=192, band_rows=16),
+        dict(depth_group=16, wb=256, band_rows=16),
+        dict(depth_group=8, wb=128, band_rows=16),
+        dict(depth_group=8, wb=192, band_rows=8),
+        dict(depth_group=16, wb=192, band_rows=8),
+        dict(depth_group=32, wb=256, band_rows=16),
+    ]
+
+    results = []
+    for sidx in range(3):
+        scale = 2 ** (2 - sidx)
+        h, w, c, d = H // scale, W // scale, FC[sidx], D[sidx]
+        fused_p = fuse_projection_matrices(
+            jnp.asarray(proj_full[f"stage{sidx + 1}"]))
+        ref_proj = fused_p[:, 0]
+        src_projs = [fused_p[:, i] for i in range(1, NV)]
+        ref = jnp.asarray(rs.random((1, h, w, c), np.float32), jnp.bfloat16)
+        srcs = [jnp.asarray(rs.random((1, h, w, c), np.float32), jnp.bfloat16)
+                for _ in range(NV - 1)]
+        # stage ranges mimic the cascade: full sweep at stage 1, ADIA-
+        # narrowed (x4 / x16) around the midpoint at stages 2/3
+        span = (dmax - dmin) / (4 ** sidx)
+        mid = 0.5 * (dmin + dmax)
+        dv = jnp.asarray(np.broadcast_to(
+            np.linspace(mid - span / 2, mid + span / 2, d,
+                        dtype=np.float32)[None, :, None, None],
+            (1, d, h, w)).copy())
+        w1 = jnp.asarray(rs.random(c, np.float32))
+
+        for cfg in combos:
+            def run(ref, srcs, dv, w1, i, cfg=cfg, ref_proj=ref_proj,
+                    src_projs=src_projs):
+                vol, of = fused_adaptive_cost_volume(
+                    ref + i.astype(ref.dtype) * 1e-6, srcs, ref_proj,
+                    src_projs, dv, w1, 0.1, 1.0, 0.0, **cfg)
+                return jnp.mean(vol.astype(jnp.float32)) + of[0, 0] * 0.0
+
+            def run_of(cfg=cfg):
+                _, of = fused_adaptive_cost_volume(
+                    ref, srcs, ref_proj, src_projs, dv, w1, 0.1, 1.0, 0.0,
+                    **cfg)
+                return int(jax.device_get(of)[0, 0])
+
+            try:
+                @jax.jit
+                def loop(args, iters):
+                    def body(c2):
+                        i, acc = c2
+                        return i + 1, acc + run(*args, i)
+                    return jax.lax.while_loop(
+                        lambda c2: c2[0] < iters, body,
+                        (jnp.int32(0), jnp.float32(0.0)))[1]
+
+                a = (ref, srcs, dv, w1)
+                float(loop(a, jnp.int32(1)))
+                t0 = time.perf_counter()
+                float(loop(a, jnp.int32(2)))
+                ts = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                float(loop(a, jnp.int32(10)))
+                tl = time.perf_counter() - t0
+                ms = (tl - ts) / 8 * 1e3
+                row = dict(stage=sidx + 1, **cfg, ms=round(ms, 2),
+                           overflow=run_of())
+            except Exception as e:
+                row = dict(stage=sidx + 1, **cfg,
+                           error=f"{type(e).__name__}: {e}"[:160])
+            results.append(row)
+            print(json.dumps(row), flush=True)
+
+    with open("/tmp/tune_costvol.json", "w") as fh:
+        json.dump(results, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()

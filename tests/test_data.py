@@ -154,3 +154,134 @@ def test_general_eval_loader(fake_eval_scene):
     k1 = s["proj_matrices"]["stage1"][0, 1]
     assert k1[0, 0] < 1000.0 / 4 + 1
     assert "filename" in s and s["filename"].startswith(scan)
+
+
+@pytest.fixture
+def fake_tnt_scene(tmp_path):
+    """TnT-format scene with the native 1920x1080 'Family' geometry and a
+    4-field depth line (reference tnt_eval_trans.py:72-77)."""
+    from PIL import Image
+    scan = "Family"
+    root = tmp_path
+    (root / scan / "images").mkdir(parents=True)
+    (root / scan / "cams").mkdir(parents=True)
+    rs = np.random.default_rng(0)
+    n_views = 3
+    for v in range(n_views):
+        img = (rs.random((1080, 1920, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(root / scan / "images" / f"{v:0>8}.jpg")
+        ext = np.eye(4, dtype=np.float32)
+        ext[0, 3] = 0.1 * v
+        lines = ["extrinsic"]
+        lines += [" ".join(str(x) for x in row) for row in ext]
+        lines += ["", "intrinsic"]
+        intr = [[1165.0, 0.0, 960.0], [0.0, 1165.0, 540.0], [0.0, 0.0, 1.0]]
+        lines += [" ".join(str(x) for x in row) for row in intr]
+        # 4-field depth line: min interval num_depth max
+        lines += ["", "0.5 0.005 900 5.0"]
+        (root / scan / "cams" / f"{v:0>8}_cam.txt").write_text(
+            "\n".join(lines) + "\n")
+    write_pair_file(root / scan / "pair.txt",
+                    [(v, [(v + 1) % n_views]) for v in range(n_views)])
+    return root, scan
+
+
+def test_tnt_eval_loader(fake_tnt_scene):
+    """Per-scene native sizing: 1920x1080 snaps to 1920x1056 (x32) with the
+    K rows rescaled by the snap (reference tnt_eval_trans.py:26-39,137-152),
+    stage-1 K pre-divided by 4, and the 4-field depth line re-deriving the
+    interval as (max-min)/ndepths."""
+    root, scan = fake_tnt_scene
+    ds = find_dataset_def("tnt_eval_trans")(
+        str(root), [scan], "test", 3, ndepths=192, interval_scale=1.0)
+    assert len(ds) == 3  # short src lists are padded, not dropped
+    s = ds[0]
+    n, h, w, _ = s["imgs"].shape
+    assert (h, w) == (1056, 1920)  # native 'Family' size snapped to x32
+    # stage-3 K: full-res K /4 (read) * 4 (stage scaling) * snap factors
+    k3 = s["proj_matrices"]["stage3"][0, 1]
+    np.testing.assert_allclose(k3[0, 0], 1165.0, rtol=1e-5)  # w unchanged
+    np.testing.assert_allclose(k3[1, 1], 1165.0 * 1056 / 1080, rtol=1e-5)
+    np.testing.assert_allclose(k3[1, 2], 540.0 * 1056 / 1080, rtol=1e-5)
+    k1 = s["proj_matrices"]["stage1"][0, 1]
+    np.testing.assert_allclose(k3[:2] / 4, k1[:2], rtol=1e-6)
+    # 4-field depth handling: interval = (0.5 + 900*0.005 - 0.5)/192
+    dv = s["depth_values"]
+    assert dv.shape == (192,)
+    np.testing.assert_allclose(dv[0], 0.5)
+    np.testing.assert_allclose(dv[1] - dv[0], 4.5 / 192, rtol=1e-5)
+    assert s["filename"] == scan + "/{}/00000000{}"
+
+
+@pytest.fixture
+def fake_blendedmvs(tmp_path):
+    """BlendedMVS-format tree: blended_images + cams(+pair) + rendered
+    depth maps at the native 768x576 low-res size."""
+    from PIL import Image
+    root = tmp_path
+    scene = "5a0271884e62597cdee0d0eb"
+    (root / scene / "blended_images").mkdir(parents=True)
+    (root / scene / "cams").mkdir(parents=True)
+    (root / scene / "rendered_depth_maps").mkdir(parents=True)
+    rs = np.random.default_rng(0)
+    n_views = 4
+    for v in range(n_views):
+        img = (rs.random((576, 768, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(
+            root / scene / "blended_images" / f"{v:08d}.jpg")
+        ext = np.eye(4, dtype=np.float32)
+        ext[0, 3] = 0.1 * v
+        intr = np.array([[578.0, 0, 384.0], [0, 578.0, 288.0], [0, 0, 1]],
+                        np.float32)
+        write_cam_file(root / scene / "cams" / f"{v:08d}_cam.txt",
+                       intr, ext, 2.0, 0.02)
+        depth = (2.5 + rs.random((576, 768))).astype(np.float32)
+        depth[:8] = 0.0  # invalid band -> mask zeros (depth < depth_min)
+        write_pfm(root / scene / "rendered_depth_maps" / f"{v:08d}.pfm",
+                  depth)
+    # cluster file: ref 0 has 3 sources, ref 1 only 1 (skipped for nviews=3)
+    pair = [f"{n_views}"]
+    srcs = {0: [1, 2, 3], 1: [0], 2: [3, 0], 3: [2, 1]}
+    for v in range(n_views):
+        pair.append(str(v))
+        pair.append(" ".join([str(len(srcs[v]))] + [
+            f"{s} {100.0 - i}" for i, s in enumerate(srcs[v])]))
+    (root / scene / "cams" / "pair.txt").write_text("\n".join(pair) + "\n")
+    listfile = root / "train.txt"
+    listfile.write_text(scene + "\n")
+    return root, listfile
+
+
+def test_blendedmvs_loader(fake_blendedmvs):
+    """Finetune-loader semantics (reference blendedmvs.py:17-37,183-206):
+    refs with < nviews-1 sources skipped, per-stage K x0.25/x0.5/x1 (native
+    res features), mask = depth >= depth_min, nearest-pyramid GT, and the
+    reference's intrinsics-filled-with-proj bug NOT replicated."""
+    root, listfile = fake_blendedmvs
+    ds = find_dataset_def("blendedmvs")(
+        str(root), str(listfile), "train", 3, ndepths=128,
+        interval_scale=1.06)
+    assert len(ds) == 3  # ref 1 (single source) is skipped
+    s = ds[0]
+    assert s["imgs"].shape == (3, 576, 768, 3)
+    assert np.isfinite(s["imgs"]).all() and s["imgs"].max() <= 1.0 + 1e-6
+    # stage K scaling x0.25 / x0.5 / x1 of the SAME cam.txt K
+    p1, p3 = s["proj_matrices"]["stage1"], s["proj_matrices"]["stage3"]
+    np.testing.assert_allclose(p3[0, 1, :2] * 0.25, p1[0, 1, :2], rtol=1e-6)
+    np.testing.assert_allclose(p3[0, 1, 0, 0], 578.0, rtol=1e-6)
+    # extrinsics untouched by stage scaling
+    np.testing.assert_allclose(p1[:, 0], p3[:, 0])
+    # GT pyramid + mask: stage1 quarter res; invalid band masked out
+    assert s["depth"]["stage1"].shape == (144, 192)
+    assert s["depth"]["stage3"].shape == (576, 768)
+    assert s["mask"]["stage3"][:8].max() == 0.0
+    assert s["mask"]["stage3"][16:].min() == 1.0
+    dv = s["depth_values"]
+    assert dv.shape == (128,)
+    np.testing.assert_allclose(dv[0], 2.0)
+    np.testing.assert_allclose(dv[1] - dv[0], 0.02 * 1.06, rtol=1e-5)
+    # intrinsics_matrices carries real per-stage K (3x3), not proj (the
+    # reference's blendedmvs.py:202-206 bug is deliberately not kept)
+    assert s["intrinsics_matrices"]["stage3"].shape == (3, 3)
+    np.testing.assert_allclose(s["intrinsics_matrices"]["stage3"][0, 0],
+                               578.0, rtol=1e-6)

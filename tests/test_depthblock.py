@@ -59,6 +59,54 @@ def test_deconv3d_repacked_exact(rng, d, bi, bo):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize("h,bi,bo,s,k", [
+    (16, 4, 4, 1, 3),   # FPN 3x3 trunk conv
+    (16, 4, 4, 1, 5),   # 5x5 stride-1 (geofusion init convs)
+    (16, 4, 2, 2, 5),   # FPN 5x5 stride-2 downsample, block size halves
+    (16, 4, 4, 2, 5),   # 5x5 stride-2, block count halves (needs KQ=4 —
+                        # a fixed 3-block window drops the last slot's tap)
+    (16, 8, 8, 1, 3),
+])
+def test_conv2d_repacked_exact(rng, h, bi, bo, s, k):
+    from damvsnet_tpu.ops.depthblock import conv2d_repacked, repack2d, unpack2d
+    x = _int_arr(rng, (1, h, 10, 3))
+    w = _int_arr(rng, (k, k, 3, 5))
+    p = (k - 1) // 2
+    want = jax.lax.conv_general_dilated(
+        x, w, (s, s), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = unpack2d(conv2d_repacked(repack2d(x, bi), w, block_in=bi,
+                                   block_out=bo, stride=s, pad_w=p), bo)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("h,bi,bo", [(8, 4, 4), (8, 4, 8), (4, 4, 8)])
+def test_deconv2d_repacked_exact(rng, h, bi, bo):
+    from damvsnet_tpu.ops.depthblock import (deconv2d_repacked, repack2d,
+                                             unpack2d)
+    x = _int_arr(rng, (1, h, 5, 3))
+    w = _int_arr(rng, (3, 3, 3, 4))
+    want = conv_transpose_torch(x, w, 2, 1, 1)
+    got = unpack2d(deconv2d_repacked(repack2d(x, bi), w, block_in=bi,
+                                     block_out=bo), bo)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_featurenet_height_block_parity(rng):
+    from damvsnet_tpu.nn.feature import FeatureNet
+    x = jnp.asarray(rng.random((1, 32, 24, 3), np.float32))
+    plain = FeatureNet(base_channels=8, height_block=0)
+    packed = FeatureNet(base_channels=8, height_block=8)
+    v = plain.init(jax.random.PRNGKey(0), x, False)
+    assert (jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        packed.init(jax.random.PRNGKey(0), x, False)))
+    y0 = plain.apply(v, x, False)
+    y1 = packed.apply(v, x, False)
+    for s in ("stage1", "stage2", "stage3"):
+        np.testing.assert_allclose(np.asarray(y0[s]), np.asarray(y1[s]),
+                                   rtol=0, atol=2e-2)
+
+
 def test_level_blocks():
     assert level_blocks(64, 16) == [16, 16, 16, 8]
     assert level_blocks(48, 16) == [16, 8, 4, 2]
