@@ -33,6 +33,12 @@ class DepthRunner:
         self.variables = variables
         self.log_fn = log_fn
         self.overflow_batches = 0
+        # phase breakdown accumulators (seconds): dispatch = jitted call
+        # returning (host->device upload + trace lookup), fetch =
+        # device_get (device compute + device->host download) — the
+        # split that localizes runner overhead vs chip time
+        self.time_dispatch = 0.0
+        self.time_fetch = 0.0
 
         def trim(out):
             # only what save_scene_depth writes — fetching the full output
@@ -70,7 +76,13 @@ class DepthRunner:
     def __call__(self, batch):
         args = (self.variables, batch["imgs"], batch["proj_matrices"],
                 batch["depth_values"], batch.get("intrinsics_matrices"))
-        out = jax.device_get(self._forward(*args))
+        t0 = time.time()
+        pending = self._forward(*args)
+        t1 = time.time()
+        out = jax.device_get(pending)
+        t2 = time.time()
+        self.time_dispatch += t1 - t0
+        self.time_fetch += t2 - t1
         if self.model.sampler != "xla" and int(out.get("sampler_overflow", 0)):
             self.overflow_batches += 1
             self.log_fn("warning: banded sampler window overflow "
@@ -99,10 +111,12 @@ def save_scene_depth(runner: DepthRunner, dataset, outdir: str,
     num_stage = runner.model.num_stage
     batch_times = []
     count = 0
+    write_time = 0.0
     for batch in loader:
         t0 = time.time()
         outputs = runner({k: v for k, v in batch.items() if k != "filename"})
         batch_times.append(time.time() - t0)
+        t_w = time.time()
         count += batch["imgs"].shape[0]
         cams = batch["proj_matrices"][f"stage{num_stage}"]
         for i, filename in enumerate(batch["filename"]):
@@ -145,10 +159,14 @@ def save_scene_depth(runner: DepthRunner, dataset, outdir: str,
             import cv2
             cv2.imwrite(os.path.join(outdir, paths["img"]),
                         cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        write_time += time.time() - t_w
     total_time = sum(batch_times)
     if count:
         steady = (sum(batch_times[1:]) / max(1, count - batch_size)
                   if len(batch_times) > 1 else total_time / count)
         log_fn(f"inference: {count} views, {steady:.3f}s/view steady "
-               f"(first batch {batch_times[0]:.1f}s incl. compile)")
+               f"(first batch {batch_times[0]:.1f}s incl. compile; "
+               f"dispatch {runner.time_dispatch:.1f}s, "
+               f"fetch {runner.time_fetch:.1f}s, "
+               f"write {write_time:.1f}s total)")
     return count, total_time, batch_times

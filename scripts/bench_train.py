@@ -1,0 +1,116 @@
+"""On-chip training throughput at the reference DTU train recipe.
+
+Measures full train steps (forward + CPC loss + backward + Adam update +
+BN stat mutation) at the reference geometry — 512x640 images, batch 4,
+N=5 views, D0=192 hypotheses, ndepths=(64,32,8), bf16 compute — and
+writes BENCH_TRAIN_r03.json. Reference recipe: train.py:35-44,92-172
+(16 epochs x batch 4 x N=5 x D=192, Adam 1e-3).
+
+Timing methodology matches bench.py: the TPU hangs off a remote tunnel
+(block_until_ready doesn't block; transfers ~20 MB/s), so the step loop
+runs inside ONE XLA while_loop with a dynamic trip count, the optimizer
+state threaded through the carry, inputs perturbed per step against
+loop-invariant hoisting; per-step time = (t_long - t_short) / d_iters.
+
+    BENCH_TRAIN_SMALL=1 for a quick 256x320 B=2 N=3 smoke run.
+    timeout 7000 python scripts/bench_train.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_damvsnet"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from __graft_entry__ import _example_batch
+    from damvsnet_tpu.losses import cas_mvsnet_loss
+    from damvsnet_tpu.model import CascadeMVSNet
+
+    small = bool(os.environ.get("BENCH_TRAIN_SMALL"))
+    B, NV, H, W, D0 = (2, 3, 256, 320, 96) if small else (4, 5, 512, 640, 192)
+    iters_long = int(os.environ.get("BENCH_ITERS", "8"))
+    iters_short = max(1, iters_long // 8)
+
+    model = CascadeMVSNet(ndepths=(64, 32, 8), compute_dtype=jnp.bfloat16)
+    batch = _example_batch(batch=B, nviews=NV, height=H, width=W, d0=D0)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
+        batch["depth_values"], batch["intrinsics_matrices"], train=False)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(variables["params"])
+
+    def loss_fn(params, batch_stats, imgs, batch):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            imgs, batch["proj_matrices"], batch["depth_values"],
+            batch["intrinsics_matrices"], train=True,
+            mutable=["batch_stats"])
+        total, _, _ = cas_mvsnet_loss(
+            out, imgs, batch["proj_matrices"], batch["depth"],
+            batch["mask"], use_cpc=True)
+        return total, mutated["batch_stats"]
+
+    @jax.jit
+    def bench_loop(params, batch_stats, opt_state, batch, iters):
+        def cond(c):
+            return c[0] < iters
+
+        def body(c):
+            i, params, bs, opt_state, acc = c
+            imgs = batch["imgs"] + (i.astype(batch["imgs"].dtype) * 1e-6)
+            (total, new_bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, bs, imgs, batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return i + 1, params, new_bs, opt_state, acc + total
+
+        init = (jnp.int32(0), params, batch_stats, opt_state,
+                jnp.float32(0.0))
+        return jax.lax.while_loop(cond, body, init)[-1]
+
+    args = (variables["params"], variables["batch_stats"], opt_state, batch)
+
+    t0 = time.perf_counter()
+    float(bench_loop(*args, jnp.int32(1)))  # compile + warm
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    float(bench_loop(*args, jnp.int32(iters_short)))
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(bench_loop(*args, jnp.int32(iters_long)))
+    t_long = time.perf_counter() - t0
+
+    dt = (t_long - t_short) / (iters_long - iters_short)
+    report = {
+        "metric": f"train_steps_per_sec_{W}x{H}_B{B}_N{NV}_D{D0}",
+        "value": round(1.0 / dt, 4),
+        "unit": "steps/sec/chip",
+        "samples_per_sec": round(B / dt, 4),
+        "sec_per_step": round(dt, 4),
+        "compile_s": round(compile_s, 1),
+        "config": {"B": B, "nviews": NV, "H": H, "W": W, "D0": D0,
+                   "ndepths": [64, 32, 8], "dtype": "bf16",
+                   "loss": "smooth-L1 staged + 12x CPC", "opt": "adam"},
+        "device": str(jax.devices()[0]),
+    }
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_TRAIN_r03.json")
+    if not small:
+        with open(out, "w") as fh:
+            json.dump(report, fh, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
