@@ -111,12 +111,17 @@ def save_scene_depth(runner: DepthRunner, dataset, outdir: str,
     num_stage = runner.model.num_stage
     batch_times = []
     count = 0
+    first_batch_n = 0  # actual size of batch 0 (may be partial with
+    # drop_last=False) — the steady-state denominator must subtract it,
+    # not the nominal batch_size
     write_time = 0.0
     for batch in loader:
         t0 = time.time()
         outputs = runner({k: v for k, v in batch.items() if k != "filename"})
         batch_times.append(time.time() - t0)
         t_w = time.time()
+        if not count:
+            first_batch_n = batch["imgs"].shape[0]
         count += batch["imgs"].shape[0]
         cams = batch["proj_matrices"][f"stage{num_stage}"]
         for i, filename in enumerate(batch["filename"]):
@@ -162,7 +167,7 @@ def save_scene_depth(runner: DepthRunner, dataset, outdir: str,
         write_time += time.time() - t_w
     total_time = sum(batch_times)
     if count:
-        steady = (sum(batch_times[1:]) / max(1, count - batch_size)
+        steady = (sum(batch_times[1:]) / max(1, count - first_batch_n)
                   if len(batch_times) > 1 else total_time / count)
         log_fn(f"inference: {count} views, {steady:.3f}s/view steady "
                f"(first batch {batch_times[0]:.1f}s incl. compile; "

@@ -68,23 +68,59 @@ def conv_transpose_torch(x: jnp.ndarray, kernel: jnp.ndarray,
 
 
 class _NormAct(nn.Module):
-    """Shared BN + ReLU tail."""
+    """Shared BN + ReLU tail.
+
+    ``blocks > 1``: x carries a repacked (slot-major) channel axis of size
+    blocks*C (ops/depthblock.py); statistics/affine are applied per
+    ORIGINAL channel by viewing the last axis as [blocks, C] — a free
+    minor-dims reshape — so plain and repacked execution share the same
+    parameters and the same math.
+
+    At inference (not train, stats exist) BatchNorm is a pure per-channel
+    affine; it is folded to x*s + t computed in f32 from the running
+    stats and the result cast back to the compute dtype. Keeping the
+    flax BatchNorm output f32 instead measurably poisons the whole graph
+    downstream (f32 FPN adds/resizes, f32 dual-output conv fusions,
+    2x-bandwidth layout copies) — the fold is where round 4's
+    "bf16 everywhere between matmuls" actually happens.
+    """
     use_bn: bool = True
     use_relu: bool = True
     bn_momentum: float = BN_MOMENTUM
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, blocks: int = 1):
+        view = x
+        if blocks > 1:
+            view = x.reshape(x.shape[:-1] + (blocks, x.shape[-1] // blocks))
         if self.use_bn:
-            x = nn.BatchNorm(
+            bn = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=self.bn_momentum,
                 epsilon=BN_EPS,
                 dtype=jnp.float32,
-            )(x)
+            )
+            if train or self.is_initializing():
+                view = bn(view)
+            else:
+                # bind the variables without running the full-volume op
+                # (dead code at run time), then fold to one affine
+                _ = bn(view[(slice(0, 1),) * (view.ndim - 1)])
+                stats = bn.variables["batch_stats"]
+                params = bn.variables.get("params", {})
+                var = stats["var"].astype(jnp.float32)
+                mean = stats["mean"].astype(jnp.float32)
+                s = jax.lax.rsqrt(var + BN_EPS)
+                t = -mean * s
+                if "scale" in params:
+                    g = params["scale"].astype(jnp.float32)
+                    s, t = s * g, t * g
+                if "bias" in params:
+                    t = t + params["bias"].astype(jnp.float32)
+                view = (view.astype(jnp.float32) * s + t).astype(x.dtype)
         if self.use_relu:
-            x = nn.relu(x)
-        return x
+            view = nn.relu(view)
+        return view.reshape(x.shape) if blocks > 1 else view
 
 
 class Conv2dBlock(nn.Module):
@@ -149,7 +185,8 @@ class Conv3dBlock(nn.Module):
     bn_momentum: float = BN_MOMENTUM
 
     @nn.compact
-    def __call__(self, x, train: bool = False, depth_blocks=None):
+    def __call__(self, x, train: bool = False, depth_blocks=None,
+                 packed: bool = False):
         k = _tuple(self.kernel_size, 3)
         p = _tuple(0 if self.padding is None else self.padding, 3)
         s = _tuple(self.stride, 3)
@@ -161,24 +198,30 @@ class Conv3dBlock(nn.Module):
             dtype=get_compute_dtype(),
         )
         if depth_blocks is None:
+            assert not packed
             x = conv(x)
-        else:
-            from ..ops.depthblock import conv3d_repacked, repack, unpack
-            b_in, b_out = depth_blocks
-            assert p[0] == (k[0] - 1) // 2 and s[1] == s[2], (k, p, s)
-            # bind the conv's params without running it on the full volume
-            # (the tiny-slice call is dead code XLA eliminates at run time)
-            _ = conv(x[:, :1, :1, :1, :])
-            params = conv.variables["params"]
-            cdt = get_compute_dtype() or x.dtype
-            y = conv3d_repacked(
-                repack(x.astype(cdt), b_in), params["kernel"],
-                block_in=b_in, block_out=b_out, stride_d=s[0],
-                stride_hw=s[1], pad_hw=p[1])
-            x = unpack(y, b_out)
-            if not self.bn:
-                x = x + params["bias"].astype(x.dtype)
-        return _NormAct(self.bn, self.relu, self.bn_momentum)(x, train)
+            return _NormAct(self.bn, self.relu, self.bn_momentum)(x, train)
+        from ..ops.depthblock import conv3d_repacked, repack, unpack
+        b_in, b_out = depth_blocks
+        assert p[0] == (k[0] - 1) // 2 and s[1] == s[2], (k, p, s)
+        # bind the conv's params without running it on the full volume
+        # (the tiny-slice call is dead code XLA eliminates at run time);
+        # in packed mode the channel axis carries b_in*Cin — slice it
+        # down so the bound kernel keeps its plain [*, Cin, Cout] shape
+        cin = x.shape[-1] // b_in if packed else x.shape[-1]
+        _ = conv(x[:, :1, :1, :1, :cin])
+        params = conv.variables["params"]
+        cdt = get_compute_dtype() or x.dtype
+        y = conv3d_repacked(
+            x.astype(cdt) if packed else repack(x.astype(cdt), b_in),
+            params["kernel"], block_in=b_in, block_out=b_out,
+            stride_d=s[0], stride_hw=s[1], pad_hw=p[1])
+        if not self.bn:
+            # slot-major packed channels: channel index = slot*C + c
+            y = y + jnp.tile(params["bias"].astype(y.dtype), b_out)
+        y = _NormAct(self.bn, self.relu, self.bn_momentum)(
+            y, train, blocks=b_out)
+        return y if packed else unpack(y, b_out)
 
 
 class Hourglass3d(nn.Module):
@@ -260,27 +303,34 @@ class Deconv3dBlock(nn.Module):
     bn_momentum: float = BN_MOMENTUM
 
     @nn.compact
-    def __call__(self, x, train: bool = False, depth_blocks=None):
+    def __call__(self, x, train: bool = False, depth_blocks=None,
+                 packed: bool = False):
         k = _tuple(self.kernel_size, 3)
-        cin = x.shape[-1]
+        b_in, b_out = depth_blocks if depth_blocks is not None else (1, 1)
+        cin = x.shape[-1] // b_in if packed else x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             k + (cin, self.features), jnp.float32)
         cdt = get_compute_dtype() or x.dtype
         if depth_blocks is not None:
             from ..ops.depthblock import deconv3d_repacked, repack, unpack
-            b_in, b_out = depth_blocks
             assert (k == (3, 3, 3) and _tuple(self.stride, 3) == (2, 2, 2)
                     and _tuple(self.padding, 3) == (1, 1, 1)
                     and _tuple(self.output_padding, 3) == (1, 1, 1))
             y = deconv3d_repacked(
-                repack(x.astype(cdt), b_in), kernel.astype(cdt),
-                block_in=b_in, block_out=b_out)
-            y = unpack(y, b_out)
-        else:
-            y = conv_transpose_torch(x.astype(cdt), kernel.astype(cdt),
-                                     self.stride, self.padding,
-                                     self.output_padding)
+                x.astype(cdt) if packed else repack(x.astype(cdt), b_in),
+                kernel.astype(cdt), block_in=b_in, block_out=b_out)
+            if not self.bn:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,), jnp.float32)
+                y = y + jnp.tile(bias.astype(y.dtype), b_out)
+            y = _NormAct(self.bn, self.relu, self.bn_momentum)(
+                y, train, blocks=b_out)
+            return y if packed else unpack(y, b_out)
+        assert not packed
+        y = conv_transpose_torch(x.astype(cdt), kernel.astype(cdt),
+                                 self.stride, self.padding,
+                                 self.output_padding)
         if not self.bn:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
                               jnp.float32)

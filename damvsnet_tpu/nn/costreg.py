@@ -41,34 +41,48 @@ class CostRegNet(nn.Module):
         if self.depth_block:
             from ..ops.depthblock import level_blocks
             lb = level_blocks(x.shape[1], self.depth_block)
-        db = (lambda i, o: None) if lb is None else (
-            lambda i, o: (lb[i], lb[o]))
-        conv0 = slab(Conv3dBlock(c, 3, 1, padding=1)(x, train, db(0, 0)))
-        conv2 = slab(Conv3dBlock(2 * c, 3, 2, padding=1)(conv0, train, db(0, 1)))
-        conv2 = slab(Conv3dBlock(2 * c, 3, 1, padding=1)(conv2, train, db(1, 1)))
-        conv4 = slab(Conv3dBlock(4 * c, 3, 2, padding=1)(conv2, train, db(1, 2)))
-        conv4 = slab(Conv3dBlock(4 * c, 3, 1, padding=1)(conv4, train, db(2, 2)))
-        x = slab(Conv3dBlock(8 * c, 3, 2, padding=1)(conv4, train, db(2, 3)))
-        x = slab(Conv3dBlock(8 * c, 3, 1, padding=1)(x, train, db(3, 3)))
-        x = slab(conv4 + Deconv3dBlock(4 * c, 3, 2, padding=1, output_padding=1)(x, train, db(3, 2)))
-        x = slab(conv2 + Deconv3dBlock(2 * c, 3, 2, padding=1, output_padding=1)(x, train, db(2, 1)))
-        x = slab(conv0 + Deconv3dBlock(c, 3, 2, padding=1, output_padding=1)(x, train, db(1, 0)))
         prob = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False,
                        dtype=get_compute_dtype(), name="prob")
         if lb is None:
-            x = prob(x)
-        else:
-            # XLA lowers a Cout=1 conv3d as a window reduce — measured 7.8 ms
-            # for 259 MFLOP on chip (30x off even the VPU's roofline).
-            # Repack it like the rest of the ladder: Cout becomes lb[0].
-            from ..ops.depthblock import conv3d_repacked, repack, unpack
-            _ = prob(x[:, :1, :1, :1, :])  # bind params; dead code at run
-            k = prob.variables["params"]["kernel"]  # [3, 3, 3, C, 1]
-            cdt = get_compute_dtype() or x.dtype  # match nn.Conv's cast
-            x = unpack(conv3d_repacked(
-                repack(x.astype(cdt), lb[0]), k.astype(cdt), block_in=lb[0],
-                block_out=lb[0], stride_d=1, stride_hw=1, pad_hw=1), lb[0])
-        return x  # [B, D, H, W, 1]
+            db = lambda i, o: None
+            conv0 = slab(Conv3dBlock(c, 3, 1, padding=1)(x, train, db(0, 0)))
+            conv2 = slab(Conv3dBlock(2 * c, 3, 2, padding=1)(conv0, train, db(0, 1)))
+            conv2 = slab(Conv3dBlock(2 * c, 3, 1, padding=1)(conv2, train, db(1, 1)))
+            conv4 = slab(Conv3dBlock(4 * c, 3, 2, padding=1)(conv2, train, db(1, 2)))
+            conv4 = slab(Conv3dBlock(4 * c, 3, 1, padding=1)(conv4, train, db(2, 2)))
+            x = slab(Conv3dBlock(8 * c, 3, 2, padding=1)(conv4, train, db(2, 3)))
+            x = slab(Conv3dBlock(8 * c, 3, 1, padding=1)(x, train, db(3, 3)))
+            x = slab(conv4 + Deconv3dBlock(4 * c, 3, 2, padding=1, output_padding=1)(x, train, db(3, 2)))
+            x = slab(conv2 + Deconv3dBlock(2 * c, 3, 2, padding=1, output_padding=1)(x, train, db(2, 1)))
+            x = slab(conv0 + Deconv3dBlock(c, 3, 2, padding=1, output_padding=1)(x, train, db(1, 0)))
+            return prob(x)  # [B, D, H, W, 1]
+        # Repacked ladder: fold lb[level] depth slots into channels ONCE and
+        # stay packed through every conv/BN/ReLU/skip — per-conv
+        # repack/unpack transposes (measured ~1 ms each at eval geometry)
+        # never happen; BN statistics stay per-original-channel via the
+        # [..., b, C] view inside _NormAct. Exact: same params, same math.
+        from ..ops.depthblock import conv3d_repacked, repack, unpack
+        db = lambda i, o: (lb[i], lb[o])
+        xp = repack(x, lb[0])
+        conv0 = slab(Conv3dBlock(c, 3, 1, padding=1)(xp, train, db(0, 0), packed=True))
+        conv2 = slab(Conv3dBlock(2 * c, 3, 2, padding=1)(conv0, train, db(0, 1), packed=True))
+        conv2 = slab(Conv3dBlock(2 * c, 3, 1, padding=1)(conv2, train, db(1, 1), packed=True))
+        conv4 = slab(Conv3dBlock(4 * c, 3, 2, padding=1)(conv2, train, db(1, 2), packed=True))
+        conv4 = slab(Conv3dBlock(4 * c, 3, 1, padding=1)(conv4, train, db(2, 2), packed=True))
+        xp = slab(Conv3dBlock(8 * c, 3, 2, padding=1)(conv4, train, db(2, 3), packed=True))
+        xp = slab(Conv3dBlock(8 * c, 3, 1, padding=1)(xp, train, db(3, 3), packed=True))
+        xp = slab(conv4 + Deconv3dBlock(4 * c, 3, 2, padding=1, output_padding=1)(xp, train, db(3, 2), packed=True))
+        xp = slab(conv2 + Deconv3dBlock(2 * c, 3, 2, padding=1, output_padding=1)(xp, train, db(2, 1), packed=True))
+        xp = slab(conv0 + Deconv3dBlock(c, 3, 2, padding=1, output_padding=1)(xp, train, db(1, 0), packed=True))
+        # final prob conv, repacked too: XLA lowers a Cout=1 conv3d as a
+        # window reduce (measured 30x off roofline); Cout becomes lb[0]
+        _ = prob(xp[:, :1, :1, :1, :c])  # bind params; dead code at run
+        k = prob.variables["params"]["kernel"]  # [3, 3, 3, C, 1]
+        cdt = get_compute_dtype() or xp.dtype  # match nn.Conv's cast
+        xp = conv3d_repacked(xp.astype(cdt), k.astype(cdt), block_in=lb[0],
+                             block_out=lb[0], stride_d=1, stride_hw=1,
+                             pad_hw=1)
+        return unpack(xp, lb[0])  # [B, D, H, W, 1]
 
 
 class Reg2d(nn.Module):

@@ -48,8 +48,13 @@ class FeatureNet(nn.Module):
             return [4 * b, 2 * b, b][: self.num_stage]
         return [4 * b, 2 * b, b][: self.num_stage]
 
-    def _hb(self, h_out: int, cout: int):
-        if not self.height_block:
+    def _hb(self, h_out: int, cout: int, h_base: int = 0):
+        if not self.height_block or h_base % 4:
+            # the trunk is stride-4: only when the input height is a
+            # multiple of 4 are all level heights exact (h, h/2, h/4) and
+            # every repack2d block guaranteed to divide its conv's actual
+            # input height — otherwise fall back to the plain conv path
+            # instead of tripping the repack2d assert at trace time
             return None
         from ..ops.depthblock import height_block
         bb = height_block(h_out, cout, self.height_block)
@@ -60,15 +65,15 @@ class FeatureNet(nn.Module):
         assert self.arch_mode in ("fpn", "unet")
         b = self.base_channels
         h = x.shape[1]
-        conv0 = Conv2dBlock(b, 3, 1, padding=1)(x, train, self._hb(h, b))
-        conv0 = Conv2dBlock(b, 3, 1, padding=1)(conv0, train, self._hb(h, b))
+        conv0 = Conv2dBlock(b, 3, 1, padding=1)(x, train, self._hb(h, b, h))
+        conv0 = Conv2dBlock(b, 3, 1, padding=1)(conv0, train, self._hb(h, b, h))
 
-        hb1 = self._hb(h // 2, 2 * b)
+        hb1 = self._hb(h // 2, 2 * b, h)
         conv1 = Conv2dBlock(2 * b, 5, 2, padding=2)(conv0, train, hb1)
         conv1 = Conv2dBlock(2 * b, 3, 1, padding=1)(conv1, train, hb1)
         conv1 = Conv2dBlock(2 * b, 3, 1, padding=1)(conv1, train, hb1)
 
-        hb2 = self._hb(h // 4, 4 * b)
+        hb2 = self._hb(h // 4, 4 * b, h)
         conv2 = Conv2dBlock(4 * b, 5, 2, padding=2)(conv1, train, hb2)
         conv2 = Conv2dBlock(4 * b, 3, 1, padding=1)(conv2, train, hb2)
         conv2 = Conv2dBlock(4 * b, 3, 1, padding=1)(conv2, train, hb2)
@@ -79,7 +84,7 @@ class FeatureNet(nn.Module):
             pathology as the U-Net's prob conv)."""
             conv = nn.Conv(feats, (3, 3), padding=1, use_bias=False,
                            dtype=get_compute_dtype(), name=name)
-            hbH = self._hb(y.shape[1], feats)
+            hbH = self._hb(y.shape[1], feats, h)
             if hbH is None:
                 return conv(y)
             from ..ops.depthblock import (conv2d_repacked, repack2d,

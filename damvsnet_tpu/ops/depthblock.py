@@ -155,7 +155,6 @@ def _conv_repacked(x, w, block_in, block_out, stride_blk_axis, strides_sp,
     kd = w.shape[0]
     p, pad_lo, qhi = _placement_conv(block_in, block_out, kd,
                                      stride_blk_axis)
-    big = _block_kernel(w, p).astype(x.dtype)
     sblk = stride_blk_axis * block_out // block_in
     assert sblk * block_in == stride_blk_axis * block_out >= block_in, (
         stride_blk_axis, block_in, block_out)
@@ -165,11 +164,23 @@ def _conv_repacked(x, w, block_in, block_out, stride_blk_axis, strides_sp,
     d_out = (d_in + 2 * ((kd - 1) // 2) - kd) // stride_blk_axis + 1
     cnt_out = -(-d_out // block_out)
     assert cnt_out * block_out == d_out, (d_out, block_out)
-    pad_hi = sblk * (cnt_out - 1) + qhi - (cnt_in - 1)
+    # trim window planes that can only ever read padded (zero) blocks at
+    # THIS block count — exact, and a 3x FLOP cut whenever the depth axis
+    # folds into few blocks (cnt_in == 1 keeps a single plane: the whole
+    # U-Net level degenerates to a 2-D conv on the folded channels)
+    offs = [q - pad_lo for q in range(p.shape[1])]
+    keep = [any(0 <= sblk * bo + o < cnt_in for bo in range(cnt_out))
+            for o in offs]
+    first = keep.index(True)
+    last = len(keep) - 1 - keep[::-1].index(True)
+    p = p[:, first:last + 1]
+    o_first, o_last = offs[first], offs[last]
+    pad_hi = sblk * (cnt_out - 1) + o_last - (cnt_in - 1)
+    big = _block_kernel(w, p).astype(x.dtype)
     return jax.lax.conv_general_dilated(
         x, big,
         window_strides=(sblk,) + strides_sp,
-        padding=((pad_lo, max(pad_hi, 0)),) + pads_sp,
+        padding=((max(-o_first, 0), max(pad_hi, 0)),) + pads_sp,
         dimension_numbers=dn,
     )
 
@@ -218,8 +229,15 @@ def _deconv_repacked(x, w, block_in, block_out, nsp, dn):
             lhs_dilation=(2,) * (nsp + 1), dimension_numbers=dn)
     # block count constant, block size doubles: the block axis is a plain
     # stride-1 conv (placement already built in conv index convention);
-    # spatial axes are still transposed convs
-    pads = ((1, 1),) + ((1, 2),) * nsp
+    # spatial axes are still transposed convs. Trim block-window planes
+    # that can only read padded blocks (exact; cnt == 1 keeps 1 of 3).
+    cnt = x.shape[1]
+    keep = [any(0 <= bo + (q - 1) < cnt for bo in range(cnt))
+            for q in range(big.shape[0])]
+    first = keep.index(True)
+    last = len(keep) - 1 - keep[::-1].index(True)
+    big = big[first:last + 1]
+    pads = ((max(1 - first, 0), max(last - 1, 0)),) + ((1, 2),) * nsp
     flipped = big[(slice(None),) + (slice(None, None, -1),) * nsp]
     return jax.lax.conv_general_dilated(
         x, flipped, window_strides=(1,) * (nsp + 1), padding=pads,

@@ -19,10 +19,11 @@ matmul [WB, J*C]^T x [WB, G*XBLK] instead of G narrow ones. This is
 sound because the projected coordinate px(d) = (a*d + b) / (c*d + e) is
 a Moebius function of the hypothesis depth — monotone in d wherever the
 denominator z keeps its sign — so the union of the G depths' tap spans
-is exactly the hull of the two endpoint spans. A z sign change inside a
-group (a hypothesis crossing the source camera plane — degenerate rig)
-breaks the monotonicity argument, so it raises the overflow flag and
-callers fall back to the XLA path. Measured on a v5e at DTU eval
+is the hull of the spans at the group's per-pixel min and max depth
+(computed in-kernel, so hypotheses need NOT be sorted along D). z is
+affine in d, so equal signs at dmin/dmax certify no pole inside the
+hull; a sign change (a hypothesis crossing the source camera plane —
+degenerate rig) raises the overflow flag and callers fall back to XLA. Measured on a v5e at DTU eval
 geometry, grouping took the three stages from 127/166/128 ms to well
 under half (per-step fixed costs — window math, DMA issue, small-matmul
 latency — dominated at G=1; see PERF.md).
@@ -98,19 +99,32 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, src_ref, ref_ref, w1_ref,
         return px, py, z
 
     def group_row_span(b, v, y, xb, dv_row):
-        """Union tap span over the row's G hypotheses: hull of the two
-        endpoint spans (px/py are monotone in depth between them), plus
-        a z-sign-change flag that voids the monotonicity argument."""
-        px0, py0, z0 = pxpy_z(dv_row[:, :XBLK], b, v, y, xb, XBLK)
-        px1, py1, z1 = pxpy_z(dv_row[:, GX - XBLK:], b, v, y, xb, XBLK)
+        """Union tap span over the row's G hypotheses: hull of the spans at
+        the per-lane min and max depth (px/py are Moebius in d, so monotone
+        wherever z keeps its sign — the [dmin, dmax] hull covers every
+        hypothesis regardless of their order), plus a z-sign-change flag
+        (z is affine in d: same sign at dmin/dmax <=> no pole inside)."""
+        dvlo = dv_row[:, :XBLK]
+        dvhi = dv_row[:, :XBLK]
+        for gi in range(1, G):
+            sl = dv_row[:, gi * XBLK:(gi + 1) * XBLK]
+            dvlo = jnp.minimum(dvlo, sl)
+            dvhi = jnp.maximum(dvhi, sl)
+        px0, py0, z0 = pxpy_z(dvlo, b, v, y, xb, XBLK)
+        px1, py1, z1 = pxpy_z(dvhi, b, v, y, xb, XBLK)
         lane_ok = jax.lax.broadcasted_iota(jnp.int32, (1, XBLK), 1) < W
         zcross = lane_ok & (z0 * z1 <= 0.0)
         fin = (jnp.isfinite(px0) & jnp.isfinite(py0)
                & jnp.isfinite(px1) & jnp.isfinite(py1))
-        pxlo = jnp.minimum(px0, px1)
-        pxhi = jnp.maximum(px0, px1)
-        pylo = jnp.minimum(py0, py1)
-        pyhi = jnp.maximum(py0, py1)
+        # widen the hull by ~8 f32 ulps at coordinate scale: interior
+        # hypotheses are evaluated independently in f32 and may exceed the
+        # endpoint hull by rounding; the pad keeps the overflow flag (and
+        # the DMA'd band) strictly conservative at negligible cost
+        eps = 1e-3
+        pxlo = jnp.minimum(px0, px1) - eps
+        pxhi = jnp.maximum(px0, px1) + eps
+        pylo = jnp.minimum(py0, py1) - eps
+        pyhi = jnp.maximum(py0, py1) + eps
         semi = (fin & ~zcross & (pxhi > -1.0) & (pxlo < W)
                 & (pyhi > -1.0) & (pylo < H) & lane_ok)
         big = jnp.float32(1e9)

@@ -123,23 +123,52 @@ def mesh_axis_size(axis: str, warn_context: str | None = None) -> int:
 def slab_constraint(x, axis: str | None, dim: int = 1):
     """Depth-slab sharding constraint for cost volumes / U-Net levels.
 
-    Shards x's depth-hypothesis dim over `axis` when the context mesh
-    carries the axis and the dim divides by it; when it doesn't divide
-    (the stride-2 ladder shrinks D below the axis size) the dim is
-    EXPLICITLY replicated so GSPMD plans an all-gather instead of falling
-    back to "involuntary full rematerialization" (spmd_partitioner.cc
-    warning). Every OTHER dim is left UNCONSTRAINED — pinning them to
-    None would force batch replication, which (a) all-gathers the
-    data-sharded batch mid-model and (b) makes the backward pass psum a
-    computation that the forced forward replicated, scaling gradients by
-    the data-axis size (reproduced: exactly 4x on a data=4 mesh)."""
+    Shards x's depth-hypothesis dim over `axis` whenever it divides
+    (1-slab shards keep halo convs near-bitwise); at D == 1 (the stride-2
+    ladder's bottleneck level) it shards the CHANNEL dim over the axis
+    instead. Rationale, found by bisecting on the 8-device CPU mesh
+    (scripts/repro_slab.py):
+
+    * r3 pinned non-shardable D to explicit replication -> GSPMD
+      converted batch-sharded producers via "involuntary full
+      rematerialization" (MULTICHIP_r03.json tail).
+    * Leaving bottleneck levels unconstrained still warned: the
+      transposed-conv partitioner wants its input (batch-replicated,
+      D-space-sharded) and the batch-sharded producer can't get there.
+    * Channel-sharding the bottleneck gives every level a valid 'space'
+      placement; D<->C transitions are all-to-alls GSPMD plans natively,
+      and the deconv partitions its contraction dim (psum). Result:
+      warning-free (MULTICHIP_r04), gradient parity preserved.
+
+    The batch dim is pinned to 'data' whenever shardable; remaining dims
+    stay UNCONSTRAINED — pinning them to None would force batch
+    replication, which scales gradients by the data-axis size
+    (reproduced: exactly 4x on a data=4 mesh; tests/test_parallel.py)."""
     if axis is None:
         return x
     size = mesh_axis_size(axis, warn_context="slab_constraint")
     if size <= 1:
         return x
     spec = [P.UNCONSTRAINED] * x.ndim
-    spec[dim] = axis if x.shape[dim] % size == 0 else None
+    # pin the batch dim to 'data' whenever it is shardable: leaving it
+    # unconstrained lets GSPMD alternate batch-sharded producers with
+    # depth-sharded constraint targets, and THAT conversion is what falls
+    # back to involuntary full rematerialization (MULTICHIP_r03 tail)
+    mesh = active_mesh()
+    data_size = dict(mesh.shape).get("data", 1) if mesh is not None else 1
+    if dim != 0 and data_size > 1 and x.shape[0] % data_size == 0:
+        spec[0] = "data"
+    # D-shard while divisible (window-dim halo, no reduction split ->
+    # near-bitwise vs unsharded); at the D=1 bottleneck shard C instead
+    # (contraction psum — reassociates, but only one tiny level).
+    if x.shape[dim] % size == 0 and x.shape[dim] >= size:
+        spec[dim] = axis
+    elif x.shape[-1] % size == 0:
+        spec[-1] = axis
+    else:
+        return x
+    if all(s is P.UNCONSTRAINED for s in spec):
+        return x
     return jax.lax.with_sharding_constraint(x, P(*spec))
 
 

@@ -93,6 +93,26 @@ def main():
         print(f"{d / 1e3 / args.iters:9.2f} ms  [{cat}] {src}")
         print(f"           e.g. {sample[(cat, src)]}")
 
+    # per-op view: same-named ops summed across iters, top individuals
+    by_op = collections.Counter()
+    op_info = {}
+    for e in dev:
+        name = e["name"]
+        if name.startswith("jit_"):
+            continue
+        by_op[name] += e["dur"]
+        if name not in op_info:
+            a = e.get("args", {})
+            op_info[name] = (a.get("source", ""),
+                             a.get("long_name", name)[:160])
+    print("\n--- top individual ops ---")
+    for name, d in by_op.most_common(args.top):
+        src, long = op_info[name]
+        if src.startswith("/root/repo/"):
+            src = src[len("/root/repo/"):]
+        print(f"{d / 1e3 / args.iters:9.2f} ms  {name}  [{src}]")
+        print(f"           {long}")
+
 
 if __name__ == "__main__":
     main()
