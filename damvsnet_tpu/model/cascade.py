@@ -81,6 +81,17 @@ class CascadeMVSNet(nn.Module):
     # checks: the kernel has no VJP and flax init must not trace it.
     stats_interpret: bool | None = None  # pallas interpret mode for the
     # stats kernel; None inherits sampler_opts["interpret"]
+    fused_train: bool = False  # run the fused Pallas cost volume during
+    # TRAINING too, via its custom VJP (ops/pallas/fused_costvol_vjp.py):
+    # banded forward + banded-matmul-transpose backward, no per-view
+    # volumes in HBM either direction. Gradient semantics match the
+    # reference (warp grid under no_grad, module.py:297-300). Deviation:
+    # AggWeightNet's two 1-channel BNs use RUNNING statistics while this
+    # is enabled (the folded affine form) instead of batch statistics —
+    # a frozen-BN change on the tiny weight net only. The per-stage
+    # overflow flag is still surfaced; training does not redo on
+    # overflow (no data-dependent control flow under jit), so monitor
+    # outputs["sampler_overflow"] when enabling on a new geometry.
     fmt_sp_axis: str | None = None  # mesh axis for sequence-parallel FMT
     # attention (parallel/fmt_sp.py): shard the (h*w) token axis; exact —
     # linear attention's KV summary reduces over tokens, so the "ring" is
@@ -169,12 +180,25 @@ class CascadeMVSNet(nn.Module):
             wnet = self.weight_nets[stage_idx]
             weight_fn = lambda vol: wnet(vol, train)
 
-        # the pallas sampler has no VJP — training always takes the XLA path
+        # training: the fused kernel is used only with its custom VJP
+        # (fused_train); otherwise fall back to the XLA gather path
+        use_fused_train = (train and self.fused_train
+                           and self.agg_mode == "adaptive"
+                           and not self.is_initializing())
         sampler = "xla" if (train and self.sampler != "xla") else self.sampler
         if sampler == "auto":
             from ..ops.warp import pallas_sampler_supported
             sampler = "pallas" if pallas_sampler_supported(ref_fea) else "xla"
-        if (sampler == "pallas" and self.agg_mode == "adaptive"
+        if use_fused_train:
+            from ..nn.aggweight import fold_aggweight
+            from ..ops.pallas.fused_costvol_vjp import (
+                fused_adaptive_cost_volume_vjp)
+            w1, b1, w2, b2 = fold_aggweight(
+                self.weight_nets[stage_idx].variables)
+            volume, overflow = fused_adaptive_cost_volume_vjp(
+                ref_fea, src_feas, ref_proj, src_projs, depth_samples,
+                w1, b1, w2, b2, **(self.sampler_opts or {}))
+        elif (sampler == "pallas" and self.agg_mode == "adaptive"
                 and not train and not self.is_initializing()):
             # fully fused TPU path: warp + diff^2 + folded AggWeightNet +
             # view accumulation in one kernel — per-view volumes never

@@ -13,7 +13,7 @@ materializes ([B, D, H, W, C] each — 0.5 GB/view at DTU stage 1) never
 exist; per-view HBM traffic drops to the banded source reads.
 
 Depth-group batching (the r3 speedup): each grid step processes G depth
-hypotheses (default 8) against ONE shared band DMA and one window
+hypotheses (default 16, r4 sweep) against ONE shared band DMA and one window
 computation, and the per-row bilinear x-resolve becomes a single wide
 matmul [WB, J*C]^T x [WB, G*XBLK] instead of G narrow ones. This is
 sound because the projected coordinate px(d) = (a*d + b) / (c*d + e) is
@@ -23,10 +23,12 @@ is the hull of the spans at the group's per-pixel min and max depth
 (computed in-kernel, so hypotheses need NOT be sorted along D). z is
 affine in d, so equal signs at dmin/dmax certify no pole inside the
 hull; a sign change (a hypothesis crossing the source camera plane —
-degenerate rig) raises the overflow flag and callers fall back to XLA. Measured on a v5e at DTU eval
-geometry, grouping took the three stages from 127/166/128 ms to well
-under half (per-step fixed costs — window math, DMA issue, small-matmul
-latency — dominated at G=1; see PERF.md).
+degenerate rig) raises the overflow flag and callers fall back to XLA.
+Measured on a v5e at DTU eval geometry, grouping took the three stages
+from 127/166/128 ms to well under half (per-step fixed costs — window
+math, DMA issue, small-matmul latency — dominated at G=1), and the r4
+sweep (scripts/tune_costvol.py) picked G=16 / band_rows=8 for another
+~1.8x on stages 1/2 (PERF.md).
 
 The AggWeightNet (two 1x1x1 conv+BN+relu stages, C->1->1,
 /root/reference/models/module.py:544-563) collapses at inference into the
@@ -273,7 +275,7 @@ def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
                            w1: jnp.ndarray, scalars: jnp.ndarray, *,
                            wb: int = 192, band_rows: int = 16, xblk: int = 128,
                            align_corners: bool = False, lookahead: int = 2,
-                           depth_group: int = 8,
+                           depth_group: int = 16,
                            packed: bool = False, interpret: bool = False):
     """src_stack [V, B, H, W, C]; geom [V, B, 12]; ref_packed [B, H*C, W];
     depth_values [B, D, H, W] f32; w1 [C, 1] f32; scalars [4] f32 =
@@ -380,7 +382,7 @@ def fused_adaptive_cost_volume(ref_fea, src_feas, ref_proj, src_projs,
                                depth_values, w1, b1, w2, b2,
                                align_corners: bool = False,
                                wb: int = 192, band_rows: int = 16,
-                               lookahead: int = 2, depth_group: int = 8,
+                               lookahead: int = 2, depth_group: int = 16,
                                interpret: bool = False):
     """Drop-in for ops.costvol.build_cost_volume(mode="adaptive") at
     inference on TPU. ref_fea [B,H,W,C]; src_feas: list of [B,H,W,C];

@@ -139,10 +139,14 @@ def plane_sweep_warp(src_fea: jnp.ndarray, src_proj: jnp.ndarray,
     """
     if sampler == "pallas":
         from .pallas.sweep_sampler import plane_sweep_warp_pallas
+        # drop opts only the FUSED cost-volume kernel understands (callers
+        # share one sampler_opts dict across both kernels)
+        opts = {k: v for k, v in (sampler_opts or {}).items()
+                if k != "depth_group"}
         return plane_sweep_warp_pallas(src_fea, src_proj, ref_proj,
                                        depth_values, align_corners,
                                        return_overflow=return_overflow,
-                                       **(sampler_opts or {}))
+                                       **opts)
     _, h, w, _ = src_fea.shape
     px, py = plane_sweep_grid(src_proj, ref_proj, depth_values, h, w, align_corners)
     px = jax.lax.stop_gradient(px)

@@ -112,9 +112,51 @@ class _Tree:
                     path + ("downsample", "_NormAct_0", "BatchNorm_0"))
 
 
+def _map_fmt_pathway(t: "_Tree", tprefix: str, path: tuple):
+    """FMT_with_pathway (/root/reference/models/FMT.py:178-225) -> our
+    FMTWithPathway (nn/fmt.py). Torch Linear weight [O, I] -> Dense kernel
+    [I, O]; LayerNorm weight -> scale. The sine positional encoding is a
+    non-persistent buffer (position_encoding.py:53) — nothing to map."""
+
+    def dense(tkey, p):
+        t._set(t.params, p + ("kernel",), t._get(tkey + ".weight").T)
+        t._set(t.params, p + ("bias",), t._get(tkey + ".bias"))
+
+    def layernorm(tkey, p):
+        t._set(t.params, p + ("scale",), t._get(tkey + ".weight"))
+        t._set(t.params, p + ("bias",), t._get(tkey + ".bias"))
+
+    for i in range(8):  # layer_names = ['self', 'cross'] * 4
+        rl = f"{tprefix}FMT.layers.{i}"
+        ol = path + ("fmt", f"layer{i}")
+        for proj in ("query_projection", "key_projection",
+                     "value_projection", "out_projection"):
+            dense(f"{rl}.attention.{proj}", ol + ("AttentionLayer_0", proj))
+        dense(f"{rl}.linear1", ol + ("linear1",))
+        dense(f"{rl}.linear2", ol + ("linear2",))
+        layernorm(f"{rl}.norm1", ol + ("norm1",))
+        layernorm(f"{rl}.norm2", ol + ("norm2",))
+    for name in ("dim_reduction_1", "dim_reduction_2", "smooth_1", "smooth_2"):
+        t.conv(f"{tprefix}{name}", path + (name,), (2, 3, 1, 0))
+
+
+def transplant_fmt_pathway(state_dict):
+    """Convert a standalone reference FMT_with_pathway state_dict to Flax
+    variables for nn.fmt.FMTWithPathway."""
+    sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
+    t = _Tree(sd)
+    _map_fmt_pathway(t, "", ())
+    unused = sorted(set(sd) - t.used)
+    if unused:
+        raise ValueError(f"unmapped reference keys ({len(unused)}): "
+                         f"{unused[:8]}...")
+    return {"params": t.params}
+
+
 def transplant_cascade(state_dict, num_stage: int = 3,
                        use_geo_fusion: bool = True,
-                       agg_mode: str = "adaptive"):
+                       agg_mode: str = "adaptive",
+                       use_fmt: bool = False):
     """Convert a reference CascadeMVSNet state_dict to Flax variables.
 
     Returns {"params": ..., "batch_stats": ...} ready for
@@ -159,6 +201,12 @@ def transplant_cascade(state_dict, num_stage: int = 3,
                       "final_decoder_stage1", "final_decoder_stage2",
                       "final_decoder_stage3"):
             t.seq_deconvbn(f"{g}.{layer}", p + (layer,))
+
+    # ---- FMT pathway (checkpoints trained with the transformer enabled;
+    # the shipped cas_mvsnet.py comments the call out, scripts name such
+    # checkpoints "Trans", scripts/test_tnt.sh:12-15) ----
+    if use_fmt:
+        _map_fmt_pathway(t, "FMT_with_pathway.", ("fmt_pathway",))
 
     # ---- CostRegNet stages ----
     deconv_map = {"conv7": "Deconv3dBlock_0", "conv9": "Deconv3dBlock_1",

@@ -39,7 +39,7 @@ def main():
 
     small = bool(os.environ.get("PARITY_SMALL"))
     H, W, NV = (256, 320, 3) if small else (864, 1152, 5)
-    out_name = "KERNEL_PARITY_r03.json"
+    out_name = os.environ.get("PARITY_OUT", "KERNEL_PARITY_r04.json")
 
     # geometrically consistent rig (random features make depth ill-posed;
     # parity diffs would then be dominated by argmax flips between
@@ -55,7 +55,12 @@ def main():
                                 for k, v in sample["intrinsics_matrices"].items()},
     }
     kw = dict(ndepths=(64, 32, 8), compute_dtype=jnp.bfloat16)
-    pall = CascadeMVSNet(sampler="pallas", stats_kernel="pallas", **kw)
+    opts = {}
+    for k in ("wb", "band_rows", "depth_group"):
+        if os.environ.get(f"PARITY_{k.upper()}"):
+            opts[k] = int(os.environ[f"PARITY_{k.upper()}"])
+    pall = CascadeMVSNet(sampler="pallas", stats_kernel="pallas",
+                         sampler_opts=opts or None, **kw)
     xla = CascadeMVSNet(sampler="xla", stats_kernel="xla", **kw)
 
     variables = jax.jit(pall.init, static_argnames=("train",))(
@@ -69,7 +74,10 @@ def main():
             keep = {"depth": out["depth"].astype(jnp.float32),
                     "conf": out["photometric_confidence"].astype(jnp.float32),
                     "sigma": out["variance"].astype(jnp.float32),
-                    "overflow": out["sampler_overflow"]}
+                    "overflow": out["sampler_overflow"],
+                    "overflow_stages": jnp.stack(
+                        [out[f"stage{s}"]["sampler_overflow"]
+                         for s in (1, 2, 3)])}
             for s in (1, 2):
                 keep[f"depth{s}"] = out[f"stage{s}"]["depth"].astype(
                     jnp.float32)
@@ -85,7 +93,7 @@ def main():
     got, t_pallas = run(pall)
     want, t_xla = run(xla)
 
-    depth_range = float(np.asarray(batch["depth_values"]).ptp())
+    depth_range = float(np.ptp(np.asarray(batch["depth_values"])))
 
     def stats(key):
         a, b = got[key], want[key]
@@ -100,6 +108,9 @@ def main():
         "device": str(jax.devices()[0]),
         "depth_range": depth_range,
         "sampler_overflow": int(got["overflow"]),
+        "sampler_overflow_per_stage": [int(x) for x in
+                                       got["overflow_stages"]],
+        "sampler_opts": opts,
         "diffs": {k: stats(k) for k in
                   ("depth", "conf", "sigma", "depth1", "depth2")},
         "first_call_sec": {"pallas": round(t_pallas, 1),

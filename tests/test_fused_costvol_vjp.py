@@ -1,0 +1,153 @@
+"""Gradient parity of the fused cost-volume custom VJP vs an independent
+XLA implementation (interpret mode on CPU).
+
+The XLA reference rebuilds the same math from primitives with their
+native autodiff: plane-sweep warp via the differentiable XLA sampler,
+the folded AggWeightNet affine, the (w+1) diff^2 view mean — with
+stop_gradient on the warp grid inputs to mirror the reference's
+torch.no_grad grid (module.py:297-300), which the kernel VJP encodes by
+returning zero cotangents for depth values/geometry.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from damvsnet_tpu.ops.warp import plane_sweep_warp
+from damvsnet_tpu.ops.pallas.fused_costvol_vjp import (
+    fused_adaptive_cost_volume_vjp)
+from damvsnet_tpu.model.cascade import fuse_projection_matrices
+from conftest import make_rig
+
+B, NV, H, W, C, D = 1, 3, 16, 32, 8, 8
+
+
+def _setup(seed=0):
+    rs = np.random.default_rng(seed)
+    _, projs = make_rig(batch=B, num_views=NV, height=H, width=W, seed=seed)
+    fused = fuse_projection_matrices(jnp.asarray(projs))
+    ref_proj = fused[:, 0]
+    src_projs = [fused[:, i] for i in range(1, NV)]
+    ref = jnp.asarray(rs.random((B, H, W, C), np.float32))
+    srcs = [jnp.asarray(rs.random((B, H, W, C), np.float32))
+            for _ in range(NV - 1)]
+    dv = jnp.asarray(np.broadcast_to(
+        np.linspace(4.0, 8.0, D, np.float32)[None, :, None, None],
+        (B, D, H, W)).copy())
+    w1 = jnp.asarray(rs.standard_normal(C).astype(np.float32) * 0.1)
+    b1, w2, b2 = 0.05, 1.3, 0.02
+    cot = jnp.asarray(rs.standard_normal((B, D, H, W, C)).astype(np.float32))
+    return ref, srcs, ref_proj, src_projs, dv, w1, b1, w2, b2, cot
+
+
+def _xla_adaptive(ref, srcs, ref_proj, src_projs, dv, w1, b1, w2, b2):
+    """Independent rebuild with native autodiff (grid under stop_grad)."""
+    acc = None
+    dv_sg = jax.lax.stop_gradient(dv)
+    for sf, sp in zip(srcs, src_projs):
+        warped = plane_sweep_warp(sf, jax.lax.stop_gradient(sp),
+                                  jax.lax.stop_gradient(ref_proj), dv_sg)
+        diff = ref[:, None] - warped  # [B, D, H, W, C]
+        d2 = diff * diff
+        s = jnp.einsum("bdhwc,c->bdhw", d2, w1)[..., None]
+        wgt = jnp.maximum(w2 * jnp.maximum(s + b1, 0.0) + b2, 0.0)
+        contrib = (wgt + 1.0) * d2
+        acc = contrib if acc is None else acc + contrib
+    return acc / len(srcs)
+
+
+@pytest.fixture(scope="module")
+def grads():
+    ref, srcs, ref_proj, src_projs, dv, w1, b1, w2, b2, cot = _setup()
+
+    def loss_fused(ref, srcs, w1, b1, w2, b2):
+        vol, _ = fused_adaptive_cost_volume_vjp(
+            ref, srcs, ref_proj, src_projs, dv, w1, b1, w2, b2,
+            interpret=True)
+        return jnp.sum(vol.astype(jnp.float32) * cot)
+
+    def loss_xla(ref, srcs, w1, b1, w2, b2):
+        vol = _xla_adaptive(ref, srcs, ref_proj, src_projs, dv,
+                            w1, b1, w2, b2)
+        return jnp.sum(vol * cot)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(
+        ref, srcs, w1, jnp.float32(b1), jnp.float32(w2), jnp.float32(b2))
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4, 5))(
+        ref, srcs, w1, jnp.float32(b1), jnp.float32(w2), jnp.float32(b2))
+    l_fused = loss_fused(ref, srcs, w1, jnp.float32(b1), jnp.float32(w2),
+                         jnp.float32(b2))
+    l_xla = loss_xla(ref, srcs, w1, jnp.float32(b1), jnp.float32(w2),
+                     jnp.float32(b2))
+    return g_fused, g_xla, float(l_fused), float(l_xla)
+
+
+def test_forward_value_parity(grads):
+    _, _, l_fused, l_xla = grads
+    np.testing.assert_allclose(l_fused, l_xla, rtol=2e-5)
+
+
+def test_grad_ref_parity(grads):
+    g_fused, g_xla, _, _ = grads
+    np.testing.assert_allclose(np.asarray(g_fused[0]), np.asarray(g_xla[0]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_grad_src_parity(grads):
+    g_fused, g_xla, _, _ = grads
+    for a, b in zip(g_fused[1], g_xla[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("idx,name", [(2, "w1"), (3, "b1"), (4, "w2"),
+                                      (5, "b2")])
+def test_grad_weightnet_parity(grads, idx, name):
+    g_fused, g_xla, _, _ = grads
+    np.testing.assert_allclose(np.asarray(g_fused[idx]),
+                               np.asarray(g_xla[idx]),
+                               rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_train_step_fused_smoke():
+    """Full cascade train step with fused_train=True (interpret mode):
+    loss and every gradient finite, sampler_overflow surfaced."""
+    from damvsnet_tpu.model import CascadeMVSNet
+    from __graft_entry__ import _example_batch
+    from damvsnet_tpu.losses import cas_mvsnet_loss
+
+    model = CascadeMVSNet(ndepths=(8, 8, 8), fused_train=True,
+                          sampler_opts={"interpret": True})
+    batch = _example_batch(batch=1, nviews=3, height=32, width=32, d0=16)
+    variables = model.init(jax.random.PRNGKey(0), batch["imgs"],
+                           batch["proj_matrices"], batch["depth_values"],
+                           batch["intrinsics_matrices"], train=False)
+    # open the folded weight-net ReLU gates (at raw init b1 = b2 = 0 and
+    # w2's sign is random, so both relus can be dead and the agg grads
+    # legitimately zero — that would make the gradient-flow assert vacuous)
+    variables = jax.tree_util.tree_map(lambda x: x, variables)  # unfreeze-safe copy
+    for i in (1, 2, 3):
+        blk = variables["params"][f"agg_weight_stage{i}"]
+        for b_idx, val in (("Conv3dBlock_0", 0.3), ("Conv3dBlock_1", 0.5)):
+            bn = blk[b_idx]["_NormAct_0"]["BatchNorm_0"]
+            bn["bias"] = jnp.full_like(bn["bias"], val)
+
+    def loss_fn(params):
+        vs = {"params": params, "batch_stats": variables["batch_stats"]}
+        out, _ = model.apply(vs, batch["imgs"], batch["proj_matrices"],
+                             batch["depth_values"],
+                             batch["intrinsics_matrices"], train=True,
+                             mutable=["batch_stats"])
+        total, _, _ = cas_mvsnet_loss(out, batch["imgs"],
+                                      batch["proj_matrices"],
+                                      batch["depth"], batch["mask"])
+        return total
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert leaves and all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # the agg weight nets must receive gradient through the folded form
+    agg = grads["agg_weight_stage1"]["Conv3dBlock_0"]["Conv_0"]["kernel"]
+    assert float(jnp.abs(agg).sum()) > 0.0
