@@ -3,7 +3,7 @@
 Measures full train steps (forward + CPC loss + backward + Adam update +
 BN stat mutation) at the reference geometry — 512x640 images, batch 4,
 N=5 views, D0=192 hypotheses, ndepths=(64,32,8), bf16 compute — and
-writes BENCH_TRAIN_r03.json. Reference recipe: train.py:35-44,92-172
+writes BENCH_TRAIN_r04.json. Reference recipe: train.py:35-44,92-172
 (16 epochs x batch 4 x N=5 x D=192, Adam 1e-3).
 
 Timing methodology matches bench.py: the TPU hangs off a remote tunnel
@@ -41,71 +41,91 @@ def main():
     iters_long = int(os.environ.get("BENCH_ITERS", "8"))
     iters_short = max(1, iters_long // 8)
 
-    model = CascadeMVSNet(ndepths=(64, 32, 8), compute_dtype=jnp.bfloat16)
+    base = CascadeMVSNet(ndepths=(64, 32, 8), compute_dtype=jnp.bfloat16)
     batch = _example_batch(batch=B, nviews=NV, height=H, width=W, d0=D0)
-    variables = jax.jit(model.init, static_argnames=("train",))(
+    variables = jax.jit(base.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
         batch["depth_values"], batch["intrinsics_matrices"], train=False)
     tx = optax.adam(1e-3)
     opt_state = tx.init(variables["params"])
+    def make_bench_loop(model):
+        def loss_fn(params, batch_stats, imgs, batch):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                imgs, batch["proj_matrices"], batch["depth_values"],
+                batch["intrinsics_matrices"], train=True,
+                mutable=["batch_stats"])
+            total, _, _ = cas_mvsnet_loss(
+                out, imgs, batch["proj_matrices"], batch["depth"],
+                batch["mask"], use_cpc=True)
+            return total, mutated["batch_stats"]
 
-    def loss_fn(params, batch_stats, imgs, batch):
-        out, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            imgs, batch["proj_matrices"], batch["depth_values"],
-            batch["intrinsics_matrices"], train=True,
-            mutable=["batch_stats"])
-        total, _, _ = cas_mvsnet_loss(
-            out, imgs, batch["proj_matrices"], batch["depth"],
-            batch["mask"], use_cpc=True)
-        return total, mutated["batch_stats"]
+        @jax.jit
+        def bench_loop(params, batch_stats, opt_state, batch, iters):
+            def cond(c):
+                return c[0] < iters
 
-    @jax.jit
-    def bench_loop(params, batch_stats, opt_state, batch, iters):
-        def cond(c):
-            return c[0] < iters
+            def body(c):
+                i, params, bs, opt_state, acc = c
+                imgs = batch["imgs"] + (i.astype(batch["imgs"].dtype) * 1e-6)
+                (total, new_bs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, bs, imgs, batch)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return i + 1, params, new_bs, opt_state, acc + total
 
-        def body(c):
-            i, params, bs, opt_state, acc = c
-            imgs = batch["imgs"] + (i.astype(batch["imgs"].dtype) * 1e-6)
-            (total, new_bs), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, bs, imgs, batch)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return i + 1, params, new_bs, opt_state, acc + total
-
-        init = (jnp.int32(0), params, batch_stats, opt_state,
-                jnp.float32(0.0))
-        return jax.lax.while_loop(cond, body, init)[-1]
+            init = (jnp.int32(0), params, batch_stats, opt_state,
+                    jnp.float32(0.0))
+            return jax.lax.while_loop(cond, body, init)[-1]
+        return bench_loop
 
     args = (variables["params"], variables["batch_stats"], opt_state, batch)
 
-    t0 = time.perf_counter()
-    float(bench_loop(*args, jnp.int32(1)))  # compile + warm
-    compile_s = time.perf_counter() - t0
+    def measure(bench_loop):
+        t0 = time.perf_counter()
+        float(bench_loop(*args, jnp.int32(1)))  # compile + warm
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(bench_loop(*args, jnp.int32(iters_short)))
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(bench_loop(*args, jnp.int32(iters_long)))
+        t_long = time.perf_counter() - t0
+        dt = (t_long - t_short) / (iters_long - iters_short)
+        return dt, compile_s
 
-    t0 = time.perf_counter()
-    float(bench_loop(*args, jnp.int32(iters_short)))
-    t_short = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(bench_loop(*args, jnp.int32(iters_long)))
-    t_long = time.perf_counter() - t0
-
-    dt = (t_long - t_short) / (iters_long - iters_short)
+    rows = {}
+    # variant 1: XLA gather sampler (the r3 train path)
+    dt, compile_s = measure(make_bench_loop(base))
+    rows["xla_sampler"] = {"sec_per_step": round(dt, 4),
+                           "steps_per_sec": round(1.0 / dt, 4),
+                           "compile_s": round(compile_s, 1)}
+    print(json.dumps({"variant": "xla_sampler", **rows["xla_sampler"]}),
+          flush=True)
+    # variant 2: fused Pallas cost volume with its custom VJP (r4)
+    if not os.environ.get("BENCH_TRAIN_SKIP_FUSED"):
+        dt2, compile2 = measure(make_bench_loop(base.clone(fused_train=True)))
+        rows["fused_vjp"] = {"sec_per_step": round(dt2, 4),
+                             "steps_per_sec": round(1.0 / dt2, 4),
+                             "compile_s": round(compile2, 1),
+                             "speedup_vs_xla": round(dt / dt2, 3)}
+        print(json.dumps({"variant": "fused_vjp", **rows["fused_vjp"]}),
+              flush=True)
+        dt = min(dt, dt2)
     report = {
         "metric": f"train_steps_per_sec_{W}x{H}_B{B}_N{NV}_D{D0}",
         "value": round(1.0 / dt, 4),
         "unit": "steps/sec/chip",
         "samples_per_sec": round(B / dt, 4),
         "sec_per_step": round(dt, 4),
-        "compile_s": round(compile_s, 1),
+        "variants": rows,
         "config": {"B": B, "nviews": NV, "H": H, "W": W, "D0": D0,
                    "ndepths": [64, 32, 8], "dtype": "bf16",
                    "loss": "smooth-L1 staged + 12x CPC", "opt": "adam"},
         "device": str(jax.devices()[0]),
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_TRAIN_r03.json")
+        os.path.abspath(__file__))), "BENCH_TRAIN_r04.json")
     if not small:
         with open(out, "w") as fh:
             json.dump(report, fh, indent=1)

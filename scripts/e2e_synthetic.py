@@ -50,7 +50,7 @@ def main(argv=None):
     p.add_argument("--conf", default="0.1,0.15,0.5",
                    help="dypcd photo-mask confidence triplet")
     p.add_argument("--workdir", default=None)
-    p.add_argument("--out", default="ACCURACY_r03.json")
+    p.add_argument("--out", default="ACCURACY_r04.json")
     p.add_argument("--platform", default=None,
                    help="cpu to force the host platform (default: env)")
     args = p.parse_args(argv)
@@ -181,23 +181,42 @@ def main(argv=None):
           f"(input interval {report['depth']['input_interval_mm']} mm)",
           flush=True)
 
-    # ---- 6. dypcd fusion -> PLY ----------------------------------------
+    # ---- 6. dypcd fusion -> PLY (host/native-C++ backend) ---------------
     conf = tuple(float(x) for x in args.conf.split(","))
     dypcd_filter(datadir, outdir, [scan], conf=conf)
     ply_path = os.path.join(outdir, f"{scan}.ply")
     pred_pts, _ = read_ply(ply_path)
     report["fusion"] = {"points": int(len(pred_pts))}
 
-    # ---- 7. DTU-protocol eval vs GT cloud ------------------------------
+    # ---- 6b. device-batched fusion backend over the SAME inputs ---------
+    # (infer/fusion_tpu.py — the gipuma-equivalent engine; VERDICT r3
+    # item 7 asks for both backends exercised in one dress rehearsal)
+    os.replace(ply_path, ply_path + ".dypcd")
+    from damvsnet_tpu.infer.fusion_tpu import consistency_filter
+    consistency_filter(datadir, outdir, [scan], conf=conf)
+    pred_pts_tpu, _ = read_ply(ply_path)
+    os.replace(ply_path, ply_path + ".tpu")
+    os.replace(ply_path + ".dypcd", ply_path)
+    report["fusion"]["points_tpu_backend"] = int(len(pred_pts_tpu))
+
+    # ---- 7. DTU-protocol eval vs GT cloud (both backends) ---------------
     gt_pts = np.load(os.path.join(datadir, scan, "gt_points.npy"))
     r = evaluate_scan(pred_pts.astype(np.float64) * MM_PER_UNIT,
                       gt_pts.astype(np.float64) * MM_PER_UNIT,
                       dst=0.2, max_dist=20.0)
     report["dtu_protocol"] = {k: (round(v, 4) if isinstance(v, float) else v)
                               for k, v in r.items()}
+    r_tpu = evaluate_scan(pred_pts_tpu.astype(np.float64) * MM_PER_UNIT,
+                          gt_pts.astype(np.float64) * MM_PER_UNIT,
+                          dst=0.2, max_dist=20.0)
+    report["dtu_protocol_tpu_backend"] = {
+        k: (round(v, 4) if isinstance(v, float) else v)
+        for k, v in r_tpu.items()}
     report["elapsed_sec"] = round(time.time() - t_start, 1)
     print(f"fused {len(pred_pts)} pts | acc={r['acc']:.4f} mm "
-          f"comp={r['comp']:.4f} mm overall={r['overall']:.4f} mm", flush=True)
+          f"comp={r['comp']:.4f} mm overall={r['overall']:.4f} mm | "
+          f"tpu backend {len(pred_pts_tpu)} pts overall={r_tpu['overall']:.4f}",
+          flush=True)
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
