@@ -30,7 +30,12 @@ class DepthRunner:
 
     def __init__(self, model, variables, log_fn=print):
         self.model = model
-        self.variables = variables
+        # pin the weights on device ONCE: checkpoint-restored variables are
+        # host numpy arrays, and leaving them host-side makes every jitted
+        # call re-upload them through the ~20 MB/s tunnel (measured as the
+        # entire 6.8 s/view "dispatch" phase in ACCURACY_r04's first cut)
+        import jax as _jax
+        self.variables = _jax.device_put(variables)
         self.log_fn = log_fn
         self.overflow_batches = 0
         # phase breakdown accumulators (seconds): dispatch = jitted call

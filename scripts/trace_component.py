@@ -77,6 +77,31 @@ def main():
                 return jnp.mean(mod.apply(v, rgb, dep, conf, dvals0, 2,
                                           orig, None, False
                                           ).astype(jnp.float32))
+    elif args.comp == "fmt":
+        # FMTWithPathway at eval stage-1 geometry, all 5 views (ref +
+        # 4 src): the cost of enabling use_fmt=True on the flagship rig
+        from damvsnet_tpu.nn.fmt import FMTWithPathway
+        mod = FMTWithPathway(base_channels=8)
+        feats = []
+        for v in range(5):
+            feats.append({
+                "stage1": jnp.asarray(
+                    rs.random((1, H // 4, W // 4, 32), np.float32), bf16),
+                "stage2": jnp.asarray(
+                    rs.random((1, H // 2, W // 2, 16), np.float32), bf16),
+                "stage3": jnp.asarray(
+                    rs.random((1, H, W, 8), np.float32), bf16),
+            })
+        x = feats
+
+        def init():
+            with cdt_scope(bf16):
+                return mod.init(jax.random.PRNGKey(0), feats)
+
+        def run(v, x):
+            with cdt_scope(bf16):
+                out = mod.apply(v, x)
+            return jnp.mean(out[-1]["stage3"].astype(jnp.float32))
     elif args.comp == "featurenet":
         from damvsnet_tpu.nn.feature import FeatureNet
         mod = FeatureNet(base_channels=8, num_stage=3, arch_mode="fpn")
