@@ -71,9 +71,12 @@ class CascadeMVSNet(nn.Module):
     # differentiable) | "pallas" (banded one-hot-matmul TPU kernel) |
     # "auto" (pallas at inference on TPU, xla otherwise/when training)
     sampler_opts: Any = None  # optional dict forwarded to the pallas
-    # sampler (wb, band_rows, lookahead, interpret); the per-stage
-    # dropped-taps flag is surfaced as outputs["sampler_overflow"] so
-    # callers (infer/runner.py) can detect and redo with the XLA path
+    # sampler (wb, band_rows, depth_group, lookahead, interpret); keys
+    # "stage1"/"stage2"/"stage3" may hold per-stage override dicts (the
+    # stages' window budgets differ: spans in pixels scale with stage
+    # resolution). The per-stage dropped-taps flag is surfaced as
+    # outputs["sampler_overflow"] so callers (infer/runner.py) can
+    # detect and redo with the XLA path
     stats_kernel: str = "auto"  # prob-volume stats tail: "xla" | "pallas"
     # (fused single-pass Pallas kernel, ops/pallas/probstats.py) | "auto"
     # (pallas at inference on TPU, xla otherwise — stats have no VJP).
@@ -103,6 +106,16 @@ class CascadeMVSNet(nn.Module):
     feature_height_block: Any = "auto"  # height-block repacking of the
     # FeatureNet trunk/head convs (same machinery along H): int cap,
     # 0 = off, "auto" = 16 on TPU / off elsewhere.
+    clamp_samples: bool = False  # clip ADIA stage-2/3 hypotheses into the
+    # input sweep range [min(depth_values), max(depth_values)]. The
+    # reference leaves d + 3*sigma unbounded (module.py:999-1038), so a
+    # flat-probability pixel can request hypotheses far outside the swept
+    # range — harmless for the XLA gather sampler but unbounded for the
+    # banded kernel's window budget (one bad pixel flips the overflow
+    # flag and forces the whole-batch XLA redo). With the clamp, spans
+    # are bounded by the rig's full-sweep spans and window sizes can be
+    # chosen to never overflow. Default OFF for reference parity; binds
+    # only in the blown-sigma regime where depth is garbage anyway.
     slab_axis: str | None = None  # mesh axis name for depth-slab sharding
     # of the cost volume (SURVEY §5): the [B, D, H, W(, C)] volumes are
     # constrained to shard D over this axis; GSPMD inserts the halo
@@ -180,6 +193,16 @@ class CascadeMVSNet(nn.Module):
             wnet = self.weight_nets[stage_idx]
             weight_fn = lambda vol: wnet(vol, train)
 
+        # resolve per-stage sampler_opts overrides
+        stage_opts = dict(self.sampler_opts or {})
+        override = None
+        for k in ("stage1", "stage2", "stage3"):
+            o = stage_opts.pop(k, None)
+            if k == f"stage{stage_idx + 1}":
+                override = o
+        if override:
+            stage_opts.update(override)
+
         # training: the fused kernel is used only with its custom VJP
         # (fused_train); otherwise fall back to the XLA gather path
         use_fused_train = (train and self.fused_train
@@ -197,7 +220,7 @@ class CascadeMVSNet(nn.Module):
                 self.weight_nets[stage_idx].variables)
             volume, overflow = fused_adaptive_cost_volume_vjp(
                 ref_fea, src_feas, ref_proj, src_projs, depth_samples,
-                w1, b1, w2, b2, **(self.sampler_opts or {}))
+                w1, b1, w2, b2, **stage_opts)
         elif (sampler == "pallas" and self.agg_mode == "adaptive"
                 and not train and not self.is_initializing()):
             # fully fused TPU path: warp + diff^2 + folded AggWeightNet +
@@ -209,12 +232,14 @@ class CascadeMVSNet(nn.Module):
                 self.weight_nets[stage_idx].variables)
             volume, overflow = fused_adaptive_cost_volume(
                 ref_fea, src_feas, ref_proj, src_projs, depth_samples,
-                w1, b1, w2, b2, **(self.sampler_opts or {}))
+                w1, b1, w2, b2, **stage_opts)
         else:
+            ac = stage_opts.pop("align_corners", False)
             volume, overflow = build_cost_volume(
                 ref_fea, src_feas, ref_proj, src_projs, depth_samples,
-                mode=self.agg_mode, weight_fn=weight_fn, sampler=sampler,
-                sampler_opts=self.sampler_opts, return_overflow=True)
+                mode=self.agg_mode, weight_fn=weight_fn,
+                align_corners=ac, sampler=sampler,
+                sampler_opts=stage_opts or None, return_overflow=True)
         if self.slab_axis is not None:
             from ..parallel.mesh import slab_constraint
             volume = slab_constraint(volume, self.slab_axis)
@@ -326,6 +351,10 @@ class CascadeMVSNet(nn.Module):
             else:
                 samples = uncertainty_aware_samples(
                     cur_depth, cur_var, self.ndepths[stage_idx], height, width)
+                if self.clamp_samples:
+                    dmin = jnp.min(depth_values, axis=1)[:, None, None, None]
+                    dmax = jnp.max(depth_values, axis=1)[:, None, None, None]
+                    samples = jnp.clip(samples, dmin, dmax)
                 samples = resize_trilinear_depth(
                     samples, (self.ndepths[stage_idx], stage_h, stage_w))
 

@@ -53,6 +53,16 @@ def main(argv=None):
     p.add_argument("--out", default="ACCURACY_r04.json")
     p.add_argument("--platform", default=None,
                    help="cpu to force the host platform (default: env)")
+    p.add_argument("--align_corners", action="store_true",
+                   help="sample the cost volume with align_corners=True: "
+                        "the reference's homo_warping normalizes with "
+                        "(d-1)/2 but samples align_corners=False — an "
+                        "internally inconsistent half-pixel convention "
+                        "the default replicates for parity. On the "
+                        "analytically-exact synthetic renderer that quirk "
+                        "costs a measured ~+5 mm depth bias (the network "
+                        "equilibrates between GT and photometric truth); "
+                        "this flag removes it for accuracy regression runs")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -100,7 +110,9 @@ def main(argv=None):
     # ---- 2. train -------------------------------------------------------
     ndepths = tuple(int(x) for x in args.ndepths.split(","))
     model = CascadeMVSNet(ndepths=ndepths, agg_mode="adaptive",
-                          use_geo_fusion=True)
+                          use_geo_fusion=True,
+                          sampler_opts=({"align_corners": True}
+                                        if args.align_corners else None))
     train_ds = SyntheticDataset(mode="train", nviews=args.nviews,
                                 ndepths=args.d0, height=args.height,
                                 width=args.width, length=args.epoch_len)

@@ -66,9 +66,15 @@ def main():
     for k in ("wb", "band_rows", "depth_group"):
         if os.environ.get(f"PARITY_{k.upper()}"):
             opts[k] = int(os.environ[f"PARITY_{k.upper()}"])
+    if os.environ.get("PARITY_STAGE_OPTS"):
+        import json as _json
+        opts.update(_json.loads(os.environ["PARITY_STAGE_OPTS"]))
+    clamp = bool(os.environ.get("PARITY_CLAMP"))
     pall = CascadeMVSNet(sampler="pallas", stats_kernel="pallas",
-                         sampler_opts=opts or None, **kw)
-    xla = CascadeMVSNet(sampler="xla", stats_kernel="xla", **kw)
+                         sampler_opts=opts or None, clamp_samples=clamp,
+                         **kw)
+    xla = CascadeMVSNet(sampler="xla", stats_kernel="xla",
+                        clamp_samples=clamp, **kw)
 
     variables = jax.jit(pall.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
@@ -138,6 +144,7 @@ def main():
         "sampler_overflow_per_stage": [int(x) for x in
                                        got["overflow_stages"]],
         "sampler_opts": opts,
+        "clamp_samples": clamp,
         "img_scale": img_scale,
         "diffs": {k: stats(k) for k in
                   ("depth", "conf", "sigma", "depth1", "depth2")},
