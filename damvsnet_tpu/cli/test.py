@@ -68,6 +68,15 @@ def main(argv=None):
         use_fmt=args.use_fmt,
         use_geo_fusion=not args.no_geo_fusion,
         refine=False,
+        # the KERNEL_PARITY_r04-validated serving configuration: clamp
+        # ADIA hypotheses into the input sweep range (binds only in the
+        # blown-sigma regime) and size the banded windows from worst-case
+        # full-sweep spans at full-res eval geometry, so the fused path
+        # cannot drop taps and the per-batch XLA redo never triggers
+        clamp_samples=True,
+        sampler_opts={"depth_group": 16,
+                      "stage2": {"band_rows": 24},
+                      "stage3": {"band_rows": 49, "wb": 320}},
     )
 
     dataset_cls = find_dataset_def(args.dataset)

