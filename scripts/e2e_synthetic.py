@@ -12,7 +12,7 @@ Runs the full reference pipeline shape (SURVEY §3.1-§3.5) hermetically:
      thinning, bidirectional NN distances, 20 mm cutoff) of the fused
      cloud against the analytic GT cloud,
 
-and writes one JSON (default ACCURACY_r03.json) with the loss curve,
+and writes one JSON (default ACCURACY_r04.json) with the loss curve,
 depth-map error statistics, and acc/comp/overall — the regression anchor
 for later rounds.
 
@@ -20,7 +20,7 @@ Units: the synthetic world unit is mapped to 100 mm (plane at ~6 units ->
 600 mm, DTU-like scale) so the protocol's mm thresholds are meaningful.
 
 Usage:
-    python scripts/e2e_synthetic.py --epochs 8 --out ACCURACY_r03.json
+    python scripts/e2e_synthetic.py --epochs 8 --out ACCURACY_r04.json
 """
 from __future__ import annotations
 

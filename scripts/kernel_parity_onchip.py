@@ -12,7 +12,7 @@ Numerics contract: /root/reference/models/module.py:297-332 (warp),
 bf16 features bound the expected divergence: the two paths round the
 warp matmul differently, so diffs up to ~1e-2 x value scale are the
 bf16 noise floor, not kernel bugs (tolerances asserted by the driver
-reading KERNEL_PARITY_r03.json).
+reading KERNEL_PARITY_r04.json).
 
     timeout 7000 python scripts/kernel_parity_onchip.py
 """
