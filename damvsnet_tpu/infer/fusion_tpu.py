@@ -86,10 +86,15 @@ _consistency_batch = jax.jit(
 
 
 def fuse_reference_view(depth_ref, intr_ref, ext_ref, src_depths, src_intrs,
-                        src_exts, dist_base=0.25, rel_diff_base=1.0 / 1300):
+                        src_exts, dist_base=0.25, rel_diff_base=1.0 / 1300,
+                        num_consistent=None):
     """Vote-fuse one reference view against V sources (device-side).
 
-    Returns (geo_mask [H,W] bool, fused depth [H,W]) as numpy.
+    One consistency pass serves both acceptance modes: the dynamic dypcd
+    vote (filter/dypcd.py:240-252) by default, or — with num_consistent
+    set — the fixed gipuma-style threshold (geo_mask_sum >= n,
+    gipuma.py:170-189). Returns (geo_mask [H,W] bool, fused depth [H,W])
+    as numpy.
     """
     masks, final, reproj = _consistency_batch(
         jnp.asarray(depth_ref), jnp.asarray(intr_ref), jnp.asarray(ext_ref),
@@ -98,11 +103,14 @@ def fuse_reference_view(depth_ref, intr_ref, ext_ref, src_depths, src_intrs,
     # masks: [V, T, H, W]; final: [V, H, W]; reproj: [V, H, W]
     geo_mask_sum = jnp.sum(final.astype(jnp.int32), axis=0)
     depth_avg = (jnp.sum(reproj, axis=0) + depth_ref) / (geo_mask_sum + 1)
-    nviews = src_depths.shape[0] + 1
-    geo_mask = geo_mask_sum >= nviews
-    mask_sums = jnp.sum(masks.astype(jnp.int32), axis=0)  # [T, H, W]
-    for i in range(2, nviews):
-        geo_mask = geo_mask | (mask_sums[i - 2] >= i)
+    if num_consistent is not None:
+        geo_mask = geo_mask_sum >= num_consistent
+    else:
+        nviews = src_depths.shape[0] + 1
+        geo_mask = geo_mask_sum >= nviews
+        mask_sums = jnp.sum(masks.astype(jnp.int32), axis=0)  # [T, H, W]
+        for i in range(2, nviews):
+            geo_mask = geo_mask | (mask_sums[i - 2] >= i)
     return np.asarray(geo_mask), np.asarray(depth_avg)
 
 
@@ -148,15 +156,7 @@ def consistency_filter(datapath, outdir, testlist, conf=(0.1, 0.15, 0.9),
             src_exts = np.stack([cams[v][1] for v in src_views])
             geo_mask, depth_avg = fuse_reference_view(
                 ref_depth, ref_intr, ref_ext, src_depths, src_intrs, src_exts,
-                dist_base, rel_diff_base)
-            if num_consistent is not None:
-                masks, final, reproj = _consistency_batch(
-                    jnp.asarray(ref_depth), jnp.asarray(ref_intr),
-                    jnp.asarray(ref_ext), jnp.asarray(src_depths),
-                    jnp.asarray(src_intrs), jnp.asarray(src_exts),
-                    dist_base, rel_diff_base)
-                geo_mask = np.asarray(
-                    jnp.sum(final.astype(jnp.int32), axis=0) >= num_consistent)
+                dist_base, rel_diff_base, num_consistent=num_consistent)
 
             final_mask = photo_mask & geo_mask
             h, w = depth_avg.shape

@@ -108,8 +108,9 @@ def save_scene_depth(runner: DepthRunner, dataset, outdir: str,
 
     Returns (count, total_time, batch_times): batch_times[0] includes the
     jit compile (minutes over the tunnel), so steady-state throughput is
-    ``sum(batch_times[1:]) / (count - batch_size)`` — callers reporting
-    sec/view should use that, not total_time / count.
+    ``sum(batch_times[1:]) / (count - first_batch_n)`` with first_batch_n
+    the *measured* size of batch 0 (may be partial under drop_last=False)
+    — callers reporting sec/view should use that, not total_time / count.
     """
     loader = DataLoader(dataset, batch_size=batch_size, shuffle=False,
                         drop_last=False, num_workers=2)

@@ -93,15 +93,22 @@ def _kernel_bwd(dv_ref, geom_ref, scal_ref, ref_ref, cot_ref, w1_ref,
         return px, py, z
 
     def row_span(y, dv_row):
+        """Identical math to the forward's group_row_span (fused_costvol.py)
+        INCLUDING the z-sign-change guard: both passes must exclude the same
+        lanes from the span min so they pick identical band placements —
+        otherwise gradients are silently computed against different taps
+        than the forward values on a degenerate rig. Returns the span
+        extents too so the backward can raise its own overflow flag."""
         dvlo = dv_row[:, :XBLK]
         dvhi = dv_row[:, :XBLK]
         for gi in range(1, G):
             sl = dv_row[:, gi * XBLK:(gi + 1) * XBLK]
             dvlo = jnp.minimum(dvlo, sl)
             dvhi = jnp.maximum(dvhi, sl)
-        px0, py0, _ = pxpy_z(dvlo, y, XBLK)
-        px1, py1, _ = pxpy_z(dvhi, y, XBLK)
+        px0, py0, z0 = pxpy_z(dvlo, y, XBLK)
+        px1, py1, z1 = pxpy_z(dvhi, y, XBLK)
         lane_ok = jax.lax.broadcasted_iota(jnp.int32, (1, XBLK), 1) < W
+        zcross = lane_ok & (z0 * z1 <= 0.0)
         fin = (jnp.isfinite(px0) & jnp.isfinite(py0)
                & jnp.isfinite(px1) & jnp.isfinite(py1))
         eps = 1e-3
@@ -109,18 +116,26 @@ def _kernel_bwd(dv_ref, geom_ref, scal_ref, ref_ref, cot_ref, w1_ref,
         pylo = jnp.minimum(py0, py1) - eps
         pxhi = jnp.maximum(px0, px1) + eps
         pyhi = jnp.maximum(py0, py1) + eps
-        semi = (fin & (pxhi > -1.0) & (pxlo < W)
+        semi = (fin & ~zcross & (pxhi > -1.0) & (pxlo < W)
                 & (pyhi > -1.0) & (pylo < H) & lane_ok)
         big = jnp.float32(1e9)
         xmin = jnp.clip(jnp.min(jnp.where(semi, pxlo, big)), -1.0, W * 1.0)
         ymin = jnp.clip(jnp.min(jnp.where(semi, pylo, big)), -1.0, H * 1.0)
+        xmax = jnp.clip(jnp.max(jnp.where(semi, pxhi, -big)), -1.0, W * 1.0)
+        ymax = jnp.clip(jnp.max(jnp.where(semi, pyhi, -big)), -1.0, H * 1.0)
         return (jnp.floor(ymin).astype(jnp.int32),
-                jnp.floor(xmin).astype(jnp.int32))
+                jnp.floor(xmin).astype(jnp.int32),
+                jnp.minimum(jnp.floor(ymax).astype(jnp.int32) + 1, H - 1),
+                jnp.minimum(jnp.floor(xmax).astype(jnp.int32) + 1, W - 1),
+                jnp.max(zcross.astype(jnp.int32)))
 
     # cell band placement (identical math to the forward's stage_step)
     spans = []
+    of_bwd = jnp.int32(0)
     for r in range(NY):
-        spans.append(row_span(yb * NY + r, dv_ref[0, 0, r:r + 1]))
+        s = row_span(yb * NY + r, dv_ref[0, 0, r:r + 1])
+        spans.append(s[:4])
+        of_bwd = of_bwd | s[4]
     ymin_c = spans[0][0]
     xmin_c = spans[0][1]
     for r in range(1, NY):
@@ -172,11 +187,13 @@ def _kernel_bwd(dv_ref, geom_ref, scal_ref, ref_ref, cot_ref, w1_ref,
 
     for r in range(NY):
         px, py, _ = pxpy_z(dv_ref[0, 0, r:r + 1], yb * NY + r, GX)
-        ymin, xmin = spans[r]
+        ymin, xmin, ytop, xtop = spans[r]
         ybase_r = jnp.clip(jnp.clip(ymin, 0, HP - J) // AY * AY,
                            ybase_c, ybase_c + (JP - J))
         xbase_r = jnp.clip(jnp.clip(xmin, 0, WP - WB) // 8 * 8,
                            xbase_c, xbase_c + (WBP - WB))
+        of_bwd = of_bwd | ((xtop - xbase_r > WB - 1)
+                           | (ytop - ybase_r > J - 1)).astype(jnp.int32)
         yoff = ybase_r - ybase_c
         xoff = xbase_r - xbase_c
         sub = band[pl.ds(pl.multiple_of(xoff, 8), WB),
@@ -266,6 +283,12 @@ def _kernel_bwd(dv_ref, geom_ref, scal_ref, ref_ref, cot_ref, w1_ref,
     dw_ref[1:2, :] = dw_ref[1:2, :] + jnp.full((1, 128), db1_acc)
     dw_ref[2:3, :] = dw_ref[2:3, :] + jnp.full((1, 128), dw2_acc)
     dw_ref[3:4, :] = dw_ref[3:4, :] + jnp.full((1, 128), db2_acc)
+    # backward tap-drop/zcross overflow flag (dw row 4; rows 5-7 spare):
+    # nonzero <=> this pass dropped taps or saw a z-sign change. With the
+    # mirrored span math above it should equal the forward's flag on any
+    # rig; tests/test_fused_costvol_vjp.py asserts the parity.
+    dw_ref[4:5, :] = jnp.maximum(dw_ref[4:5, :],
+                                 jnp.full((1, 128), of_bwd.astype(jnp.float32)))
 
     # write the accumulated band back; wait immediately so the next grid
     # step's read of a possibly-overlapping band sees the update
@@ -379,13 +402,6 @@ def _fused_backward(src_stack, geom, ref_packed, depth_values, w1v, scalars,
     )(dvals, geom, scalars, ref_packed, cot_packed, w1v, src_packed,
       dsrc_zero)
     return dref, dsrc, dw
-
-
-def _opts_key(opts):
-    return (opts.get("wb", 192), opts.get("band_rows", 8),
-            opts.get("xblk", 128), opts.get("align_corners", False),
-            opts.get("depth_group", 16), opts.get("interpret", False),
-            opts.get("lookahead", 2))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

@@ -33,12 +33,34 @@ class MeshAxes:
 
 def maybe_initialize_distributed():
     """Multi-host rendezvous (the reference's torchrun env:// NCCL init,
-    train.py:401-405). No-op on a single process; driven by the standard
-    JAX coordinator env vars when launched on a pod slice."""
+    train.py:401-405), via ``jax.distributed.initialize``.
+
+    Resolution order:
+      1. ``JAX_COORDINATOR_ADDRESS`` [+ ``JAX_NUM_PROCESSES`` /
+         ``JAX_PROCESS_ID``] set -> explicit initialize with those values
+         (initialize() itself reads the env vars; we only gate on them).
+      2. A supported cluster environment (TPU pod metadata, Slurm, Open
+         MPI, GKE) -> bare ``initialize()`` auto-detection.
+      3. Otherwise single-process: no-op.
+
+    Idempotent: a second call (or one after the caller already
+    initialized) is a no-op. Exercised by the 2-process CPU test in
+    tests/test_multiprocess.py."""
     import os
-    if int(os.environ.get("JAX_PROCESS_COUNT", os.environ.get("NPROC", "1"))) > 1 \
-            or os.environ.get("COORDINATOR_ADDRESS"):
+    already = getattr(jax._src.distributed.global_state, "client", None)
+    if already is not None:
+        return jax.process_index(), jax.process_count()
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
+    else:
+        try:
+            from jax._src.clusters import ClusterEnv
+            detected = ClusterEnv.auto_detect_unset_distributed_params(
+                None, None, None, None, None, None)[0] is not None
+        except Exception:
+            detected = False
+        if detected:
+            jax.distributed.initialize()
     return jax.process_index(), jax.process_count()
 
 
@@ -120,7 +142,8 @@ def mesh_axis_size(axis: str, warn_context: str | None = None) -> int:
     return size
 
 
-def slab_constraint(x, axis: str | None, dim: int = 1):
+def slab_constraint(x, axis: str | None, dim: int = 1,
+                    data_axis: str = "data"):
     """Depth-slab sharding constraint for cost volumes / U-Net levels.
 
     Shards x's depth-hypothesis dim over `axis` whenever it divides
@@ -155,9 +178,9 @@ def slab_constraint(x, axis: str | None, dim: int = 1):
     # depth-sharded constraint targets, and THAT conversion is what falls
     # back to involuntary full rematerialization (MULTICHIP_r03 tail)
     mesh = active_mesh()
-    data_size = dict(mesh.shape).get("data", 1) if mesh is not None else 1
+    data_size = dict(mesh.shape).get(data_axis, 1) if mesh is not None else 1
     if dim != 0 and data_size > 1 and x.shape[0] % data_size == 0:
-        spec[0] = "data"
+        spec[0] = data_axis
     # D-shard while divisible (window-dim halo, no reduction split ->
     # near-bitwise vs unsharded); at the D=1 bottleneck shard C instead
     # (contraction psum — reassociates, but only one tiny level).
@@ -166,6 +189,19 @@ def slab_constraint(x, axis: str | None, dim: int = 1):
     elif x.shape[-1] % size == 0:
         spec[-1] = axis
     else:
+        # neither D nor C divides the axis: falling through unconstrained
+        # reintroduces exactly the r3 involuntary-rematerialization risk
+        # this helper exists to prevent — surface it once per shape
+        key = ("slab_fallthrough", axis, x.shape[dim], x.shape[-1], size)
+        if key not in _WARNED_AXES:
+            _WARNED_AXES.add(key)
+            import warnings
+            warnings.warn(
+                f"slab_constraint: neither dim {dim} (={x.shape[dim]}) nor "
+                f"the channel dim (={x.shape[-1]}) divides mesh axis "
+                f"'{axis}' (size {size}) — leaving the volume unconstrained;"
+                " GSPMD may fall back to full rematerialization. Pick D/C "
+                "multiples of the slab axis.", stacklevel=3)
         return x
     if all(s is P.UNCONSTRAINED for s in spec):
         return x
