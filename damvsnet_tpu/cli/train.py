@@ -52,8 +52,27 @@ def build_parser():
     # TPU runtime
     p.add_argument("--mesh_data", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--mesh_space", type=int, default=1,
+                   help="'space' mesh axis size for depth-slab sharding "
+                        "of the cost volumes (enables --slab_axis space)")
+    p.add_argument("--dtype", default="auto", choices=["auto", "bf16", "f32"],
+                   help="compute dtype: auto = bf16 on TPU, f32 elsewhere "
+                        "(f32 = reference-parity precision)")
+    p.add_argument("--fused_train", action="store_true",
+                   help="run the fused Pallas cost volume in the train "
+                        "step via its custom VJP (the benchmarked 5.2x "
+                        "step speedup, BENCH_TRAIN; AggWeightNet BNs use "
+                        "running stats while enabled)")
+    p.add_argument("--cache_dir", default="~/.cache/jax_damvsnet",
+                   help="persistent XLA compilation cache ('' disables)")
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--grad_accum", type=int, default=1)
+    p.add_argument("--save_freq", type=int, default=0,
+                   help="preemption-safe step checkpointing: save an "
+                        "async mid-epoch checkpoint (with the data "
+                        "cursor) every N steps; --resume restores it and "
+                        "continues mid-epoch. 0 = per-epoch only "
+                        "(reference parity, train.py:130-137)")
     p.add_argument("--profile_dir", default=None,
                    help="write a JAX profiler trace here for steps 2-6")
     p.add_argument("--debug_nans", action="store_true",
@@ -70,6 +89,10 @@ def main(argv=None):
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser(args.cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from ..data import find_dataset_def
     from ..data.common import DataLoader
@@ -84,6 +107,13 @@ def main(argv=None):
     ndepths = tuple(int(x) for x in args.ndepths.split(",") if x)
     dlossw = tuple(float(x) for x in args.dlossw.split(",") if x)
 
+    import jax.numpy as jnp
+    if args.dtype == "auto":
+        dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                 else jnp.float32)
+    else:
+        dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[args.dtype]
+
     model = CascadeMVSNet(
         ndepths=ndepths,
         depth_intervals_ratio=tuple(float(x) for x in args.depth_inter_r.split(",") if x),
@@ -93,6 +123,12 @@ def main(argv=None):
         agg_mode=args.agg_mode,
         use_fmt=args.use_fmt,
         use_geo_fusion=not args.no_geo_fusion,
+        compute_dtype=dtype,
+        fused_train=args.fused_train,
+        sampler_opts={"depth_group": 16} if args.fused_train else None,
+        clamp_samples=args.fused_train,  # bound the banded windows (the
+        # fused train step has no per-batch XLA redo on overflow)
+        slab_axis="space" if args.mesh_space > 1 else None,
     )
 
     dataset_cls = find_dataset_def(args.dataset)
@@ -113,19 +149,26 @@ def main(argv=None):
     state = create_train_state(model, jax.random.PRNGKey(args.seed), example, tx)
 
     os.makedirs(args.logdir, exist_ok=True)
+    skip_batches = 0
     if args.resume:
         ckpt = latest_checkpoint(args.logdir)
         if ckpt:
-            state = restore_checkpoint(ckpt, state)
-            print(f"resumed from {ckpt} at epoch {state.epoch}")
+            state, skip_batches = restore_checkpoint(ckpt, state,
+                                                     with_cursor=True)
+            print(f"resumed from {ckpt} at epoch {state.epoch}"
+                  + (f" (mid-epoch, skipping {skip_batches} batches)"
+                     if skip_batches else ""))
     elif args.loadckpt:
         state = restore_checkpoint(args.loadckpt, state, weights_only=True)
         print(f"loaded weights from {args.loadckpt}")
 
     maybe_initialize_distributed()
-    mesh = make_mesh(data=args.mesh_data or len(jax.devices()), space=1)
+    mesh = make_mesh(data=args.mesh_data
+                     or len(jax.devices()) // args.mesh_space,
+                     space=args.mesh_space)
     trainer = Trainer(model, state, args.logdir, dlossw=dlossw,
-                      use_cpc=not args.no_cpc, summary_freq=args.summary_freq)
+                      use_cpc=not args.no_cpc, summary_freq=args.summary_freq,
+                      save_freq=args.save_freq)
     if args.grad_accum > 1:
         from ..train.loop import make_train_step
         trainer.train_step = make_train_step(
@@ -146,7 +189,9 @@ def main(argv=None):
         for epoch in range(state.epoch, args.epochs):
             t0 = time.time()
             means = trainer.train_epoch(
-                shard_batch(mesh, b) for b in train_loader)
+                (shard_batch(mesh, b) for b in train_loader),
+                skip_batches=skip_batches)
+            skip_batches = 0
             print(f"epoch {epoch} done in {time.time() - t0:.1f}s: "
                   + " ".join(f"{k}={v:.4f}" for k, v in means.items()))
             if val_dataset is not None:

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..losses import cas_mvsnet_loss
 from .logging import SummaryWriter
 from .metrics import thres_metrics, abs_depth_error_metrics, DictAverageMeter
-from .state import TrainState, save_checkpoint
+from .state import TrainState, save_checkpoint, wait_for_saves
 
 
 def make_train_step(model, dlossw=(0.5, 1.0, 2.0), use_cpc: bool = True,
@@ -139,7 +139,8 @@ class Trainer:
 
     def __init__(self, model, state: TrainState, logdir: str,
                  dlossw=(0.5, 1.0, 2.0), use_cpc: bool = True,
-                 summary_freq: int = 50, log_fn=print, max_keep=None):
+                 summary_freq: int = 50, log_fn=print, max_keep=None,
+                 save_freq: int = 0):
         self.model = model
         self.state = state
         self.logdir = logdir
@@ -148,13 +149,26 @@ class Trainer:
         self.summary_freq = summary_freq
         self.log_fn = log_fn
         self.max_keep = max_keep
+        # save_freq > 0: preemption-safe mid-epoch checkpoints every N
+        # steps, written on a background thread with the data cursor
+        # (SURVEY §7.2 step 9; beyond reference parity)
+        self.save_freq = save_freq
         self.writer = SummaryWriter(logdir)
 
-    def train_epoch(self, batches):
+    def train_epoch(self, batches, skip_batches: int = 0):
+        """One epoch. skip_batches: resume point of a mid-epoch
+        checkpoint — that many leading batches are consumed without a
+        step (the deterministic loader order makes the tail identical to
+        the interrupted run's)."""
         meter = DictAverageMeter()
         for i, batch in enumerate(batches):
+            if i < skip_batches:
+                continue
             t0 = time.time()
             self.state, metrics = self.train_step(self.state, batch)
+            if self.save_freq and (i + 1) % self.save_freq == 0:
+                save_checkpoint(self.logdir, self.state, cursor=i + 1,
+                                background=True, max_keep=2)
             images = metrics.pop("_images", None)
             if (i + 1) % self.summary_freq == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
@@ -169,6 +183,11 @@ class Trainer:
                     + f" time={time.time() - t0:.3f}s")
             else:
                 meter.update({k: float(v) for k, v in metrics.items()})
+        # drain pending mid-epoch saves BEFORE the epoch save: the epoch
+        # checkpoint must end up newest (latest_checkpoint ranks by
+        # mtime), else a straggler step-save would win the next resume
+        # and replay this epoch's tail
+        wait_for_saves()
         self.state = self.state.replace(epoch=self.state.epoch + 1)
         save_checkpoint(self.logdir, self.state, max_keep=self.max_keep)
         means = meter.mean()

@@ -83,3 +83,55 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
 
     weights_only = restore_checkpoint(path, blank, weights_only=True)
     assert weights_only.epoch == 0 and weights_only.step == 0
+
+
+@pytest.mark.slow
+def test_kill_and_resume_mid_epoch(tiny_setup, tmp_path):
+    """Preemption-safe checkpointing: a run killed mid-epoch resumes from
+    the step checkpoint (with its data cursor) and ends bit-identical to
+    an uninterrupted run over the same deterministic batch stream."""
+    from damvsnet_tpu.train.state import wait_for_saves
+
+    model, state0, batch = tiny_setup
+    step = make_train_step(model, use_cpc=False, donate=False)
+    # 4-batch "epoch": perturb images per batch so steps differ
+    batches = [
+        {**batch, "imgs": batch["imgs"] + 0.01 * k} for k in range(4)
+    ]
+
+    # uninterrupted run
+    ref = state0
+    for b in batches:
+        ref, _ = step(ref, b)
+
+    # interrupted run: 2 steps, mid-epoch save (cursor=2), "kill"
+    logdir = str(tmp_path / "killrun")
+    os.makedirs(logdir)
+    cur = state0
+    for b in batches[:2]:
+        cur, _ = step(cur, b)
+    save_checkpoint(logdir, cur, cursor=2, background=True)
+    wait_for_saves()
+    del cur
+
+    # resume: fresh state, restore newest ckpt + cursor, skip, finish
+    ckpt = latest_checkpoint(logdir)
+    assert ckpt and "ckpt_step_" in ckpt
+    resumed, cursor = restore_checkpoint(ckpt, state0, with_cursor=True)
+    assert cursor == 2 and resumed.step == state0.step + 2
+    for b in batches[cursor:]:
+        resumed, _ = step(resumed, b)
+
+    assert resumed.step == ref.step
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), ref.params, resumed.params)
+    assert max(jax.tree_util.tree_leaves(diff)) == 0.0
+
+
+def test_epoch_ckpt_outranks_stale_step_ckpt(tiny_setup, tmp_path):
+    """latest_checkpoint must prefer the newest save regardless of kind."""
+    model, state, _ = tiny_setup
+    logdir = str(tmp_path)
+    save_checkpoint(logdir, state.replace(step=5, epoch=0), cursor=5)
+    path_epoch = save_checkpoint(logdir, state.replace(step=8, epoch=1))
+    assert latest_checkpoint(logdir) == path_epoch
