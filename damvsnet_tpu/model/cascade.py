@@ -218,9 +218,13 @@ class CascadeMVSNet(nn.Module):
                 fused_adaptive_cost_volume_vjp)
             w1, b1, w2, b2 = fold_aggweight(
                 self.weight_nets[stage_idx].variables)
+            # the trainable kernel has no two-tier mode (single-window VJP)
+            train_opts = {k: v for k, v in stage_opts.items()
+                          if k not in ("two_tier", "narrow_wb",
+                                       "narrow_band_rows")}
             volume, overflow = fused_adaptive_cost_volume_vjp(
                 ref_fea, src_feas, ref_proj, src_projs, depth_samples,
-                w1, b1, w2, b2, **stage_opts)
+                w1, b1, w2, b2, **train_opts)
         elif (sampler == "pallas" and self.agg_mode == "adaptive"
                 and not train and not self.is_initializing()):
             # fully fused TPU path: warp + diff^2 + folded AggWeightNet +

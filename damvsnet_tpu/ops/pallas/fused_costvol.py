@@ -62,16 +62,34 @@ from .sweep_sampler import NY, _affine, _round_up, geom_from_projs
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, src_ref, ref_ref, w1_ref,
-            out_ref, of_ref,
+def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, ofmap_in_ref, src_ref,
+            ref_ref, w1_ref,
+            out_ref, of_ref, ofmap_out_ref,
             band, sem, carry, acc,
             *, H, W, HP, WP, C, DG, G, V, XBLK, WB, J, WBP, JP, NYB, NXB, L,
-            sx, ox, sy, oy, out_dtype):
+            sx, ox, sy, oy, out_dtype, OFM):
+    """OFM (static) selects the two-tier role of this pass:
+      0 — single-pass (classic): global overflow scalar only.
+      1 — narrow pass: additionally write a PER-CELL overflow map
+          (cell = one (b, depth-group, row-block, col-block) output tile,
+          OR-reduced over its V view steps and NY rows).
+      2 — wide repair pass: read the narrow pass's map and fully skip
+          (window math, band DMA, matmuls, output write) every clean
+          cell — only flagged cells pay the wide-window FLOPs. The
+          global overflow scalar then reports RESIDUAL overflow at the
+          wide windows (callers fall back to XLA only for that)."""
     pid = pl.program_id(0)
     nsteps = pl.num_programs(0)
     AY = 128 // C
     jc = J * C
     GX = G * XBLK
+
+    def step_flag(step):
+        # does this step's cell need computing? (always, except clean
+        # cells in the wide repair pass)
+        if OFM != 2:
+            return None
+        return ofmap_in_ref[step // V, 0] != 0
 
     def decomp(step):
         v = step % V
@@ -175,111 +193,140 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, src_ref, ref_ref, w1_ref,
                        pl.ds(pl.multiple_of(ybase_c * C, 128), JP * C)],
             band.at[slot], sem.at[slot]).start()
 
-    @pl.when(pid < L - 1)
+    early_cond = pid < L - 1
+    ahead = pid + L - 1
+    ahead_cond = ahead < nsteps
+    if OFM == 2:
+        early_cond = early_cond & step_flag(pid)
+        ahead_cond = ahead_cond & step_flag(jnp.minimum(ahead, nsteps - 1))
+
+    @pl.when(early_cond)
     def _():
         stage_step(pid, pid % L, dv_ref[0, 0])
 
-    @pl.when(pid + L - 1 < nsteps)
+    @pl.when(ahead_cond)
     def _():
-        ahead = pid + L - 1
         stage_step(ahead, ahead % L, dvn_ref[0, 0])
 
     cur = pid % L
     b, dg, yb, xb, v = decomp(pid)
-    ybase_c = carry[cur, 2 * NY]
-    xbase_c = carry[cur, 2 * NY + 1]
 
     @pl.when(pid == 0)
     def _():
         of_ref[0, 0] = jnp.int32(0)
 
-    of_ref[0, 0] = of_ref[0, 0] | carry[cur, 2 * NY + 2]
+    def compute_step():
+        ybase_c = carry[cur, 2 * NY]
+        xbase_c = carry[cur, 2 * NY + 1]
+        of_ref[0, 0] = of_ref[0, 0] | carry[cur, 2 * NY + 2]
+        if OFM == 1:
+            cof = carry[cur, 2 * NY + 2]
 
-    pltpu.make_async_copy(
-        src_ref.at[v, b, pl.ds(pl.multiple_of(xbase_c, 8), WBP),
-                   pl.ds(pl.multiple_of(ybase_c * C, 128), JP * C)],
-        band.at[cur], sem.at[cur]).wait()
+            @pl.when(v == 0)
+            def _():
+                ofmap_out_ref[pid // V, 0] = cof
 
-    mm_prec = (_HIGHEST if band.dtype == jnp.float32
-               else jax.lax.Precision.DEFAULT)
-    o_iota = jax.lax.broadcasted_iota(jnp.int32, (WB, GX), 0)
-    b1 = scal_ref[0]
-    w2 = scal_ref[1]
-    b2 = scal_ref[2]
-    inv_nm1 = scal_ref[3]
-    w1 = w1_ref[:]  # [C, 1] f32, broadcasts over lanes
+            @pl.when(v > 0)
+            def _():
+                ofmap_out_ref[pid // V, 0] = ofmap_out_ref[pid // V, 0] | cof
 
-    for r in range(NY):
-        px, py, _ = pxpy_z(dv_ref[0, 0, r:r + 1], b, v, yb * NY + r, xb, GX)
-        yoff = carry[cur, 2 * r]
-        xoff = carry[cur, 2 * r + 1]
-        ybase_r = ybase_c + yoff
-        xbase_r = xbase_c + xoff
-        sub = band[cur, pl.ds(pl.multiple_of(xoff, 8), WB),
-                   pl.ds(pl.multiple_of(yoff * C, 128), jc)]
+        pltpu.make_async_copy(
+            src_ref.at[v, b, pl.ds(pl.multiple_of(xbase_c, 8), WBP),
+                       pl.ds(pl.multiple_of(ybase_c * C, 128), JP * C)],
+            band.at[cur], sem.at[cur]).wait()
 
-        fin = jnp.isfinite(px) & jnp.isfinite(py)
-        pxc = jnp.where(fin, jnp.clip(px, -2.0, W + 1.0), -2.0)
-        o_ids = o_iota + xbase_r
-        wxt = jnp.maximum(0.0, 1.0 - jnp.abs(pxc - o_ids.astype(jnp.float32)))
-        wxt = jnp.where(o_ids <= W - 1, wxt, 0.0)  # [WB, G*XBLK]
-        warp_jc = jax.lax.dot_general(
-            sub, wxt.astype(band.dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mm_prec)  # [J*C, G*XBLK]
+        mm_prec = (_HIGHEST if band.dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT)
+        o_iota = jax.lax.broadcasted_iota(jnp.int32, (WB, GX), 0)
+        b1 = scal_ref[0]
+        w2 = scal_ref[1]
+        b2 = scal_ref[2]
+        inv_nm1 = scal_ref[3]
+        w1 = w1_ref[:]  # [C, 1] f32, broadcasts over lanes
 
-        pyc = jnp.where(fin, jnp.clip(py, -2.0, H + 1.0), -2.0)
-        warp = jnp.zeros((C, GX), jnp.float32)
-        for j in range(J):
-            row = ybase_r + j
-            m = jnp.maximum(
-                0.0, 1.0 - jnp.abs(pyc - row.astype(jnp.float32)))
-            m = jnp.where(row <= H - 1, m, 0.0)
-            warp = warp + m * warp_jc[j * C:(j + 1) * C, :]
+        for r in range(NY):
+            px, py, _ = pxpy_z(dv_ref[0, 0, r:r + 1], b, v, yb * NY + r,
+                               xb, GX)
+            yoff = carry[cur, 2 * r]
+            xoff = carry[cur, 2 * r + 1]
+            ybase_r = ybase_c + yoff
+            xbase_r = xbase_c + xoff
+            sub = band[cur, pl.ds(pl.multiple_of(xoff, 8), WB),
+                       pl.ds(pl.multiple_of(yoff * C, 128), jc)]
 
-        # adaptive aggregation on the wide tile: diff^2, folded weight
-        # net, (w+1)*diff^2 accumulated over views in the f32 accumulator.
-        # ref is hypothesis-independent: one [C, XBLK] tile repeated G
-        # times along lanes.
-        ref_row = ref_ref[0, r * C:(r + 1) * C, :].astype(jnp.float32)
-        ref_tile = jnp.concatenate([ref_row] * G, axis=1)  # [C, G*XBLK]
-        diff = ref_tile - warp
-        diff2 = diff * diff
-        s = jnp.sum(diff2 * w1, axis=0, keepdims=True)  # [1, G*XBLK]
-        wgt = jnp.maximum(w2 * jnp.maximum(s + b1, 0.0) + b2, 0.0)
-        contrib = (wgt + 1.0) * diff2
+            fin = jnp.isfinite(px) & jnp.isfinite(py)
+            pxc = jnp.where(fin, jnp.clip(px, -2.0, W + 1.0), -2.0)
+            o_ids = o_iota + xbase_r
+            wxt = jnp.maximum(
+                0.0, 1.0 - jnp.abs(pxc - o_ids.astype(jnp.float32)))
+            wxt = jnp.where(o_ids <= W - 1, wxt, 0.0)  # [WB, G*XBLK]
+            warp_jc = jax.lax.dot_general(
+                sub, wxt.astype(band.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mm_prec)  # [J*C, G*XBLK]
 
-        @pl.when(v == 0)
+            pyc = jnp.where(fin, jnp.clip(py, -2.0, H + 1.0), -2.0)
+            warp = jnp.zeros((C, GX), jnp.float32)
+            for j in range(J):
+                row = ybase_r + j
+                m = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(pyc - row.astype(jnp.float32)))
+                m = jnp.where(row <= H - 1, m, 0.0)
+                warp = warp + m * warp_jc[j * C:(j + 1) * C, :]
+
+            # adaptive aggregation on the wide tile: diff^2, folded weight
+            # net, (w+1)*diff^2 accumulated over views in the f32
+            # accumulator. ref is hypothesis-independent: one [C, XBLK]
+            # tile repeated G times along lanes.
+            ref_row = ref_ref[0, r * C:(r + 1) * C, :].astype(jnp.float32)
+            ref_tile = jnp.concatenate([ref_row] * G, axis=1)  # [C, G*XBLK]
+            diff = ref_tile - warp
+            diff2 = diff * diff
+            s = jnp.sum(diff2 * w1, axis=0, keepdims=True)  # [1, G*XBLK]
+            wgt = jnp.maximum(w2 * jnp.maximum(s + b1, 0.0) + b2, 0.0)
+            contrib = (wgt + 1.0) * diff2
+
+            @pl.when(v == 0)
+            def _(r=r, contrib=contrib):
+                acc[r * C:(r + 1) * C, :] = contrib
+
+            @pl.when(v > 0)
+            def _(r=r, contrib=contrib):
+                acc[r * C:(r + 1) * C, :] = acc[r * C:(r + 1) * C, :] + contrib
+
+        @pl.when(v == V - 1)
         def _():
-            acc[r * C:(r + 1) * C, :] = contrib
+            for g in range(G):
+                out_ref[0, g] = (acc[:, g * XBLK:(g + 1) * XBLK]
+                                 * inv_nm1).astype(out_dtype)
 
-        @pl.when(v > 0)
-        def _():
-            acc[r * C:(r + 1) * C, :] = acc[r * C:(r + 1) * C, :] + contrib
-
-    @pl.when(v == V - 1)
-    def _():
-        for g in range(G):
-            out_ref[0, g] = (acc[:, g * XBLK:(g + 1) * XBLK]
-                             * inv_nm1).astype(out_dtype)
+    if OFM == 2:
+        pl.when(step_flag(pid))(compute_step)
+    else:
+        compute_step()
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("wb", "band_rows", "xblk", "align_corners", "lookahead",
-                     "depth_group", "packed", "interpret"))
+                     "depth_group", "packed", "interpret", "ofmap_mode"))
 def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
                            ref_packed: jnp.ndarray,
                            depth_values: jnp.ndarray,
-                           w1: jnp.ndarray, scalars: jnp.ndarray, *,
+                           w1: jnp.ndarray, scalars: jnp.ndarray,
+                           ofmap: jnp.ndarray | None = None, *,
                            wb: int = 192, band_rows: int = 16, xblk: int = 128,
                            align_corners: bool = False, lookahead: int = 2,
                            depth_group: int = 16,
-                           packed: bool = False, interpret: bool = False):
+                           packed: bool = False, interpret: bool = False,
+                           ofmap_mode: int = 0):
     """src_stack [V, B, H, W, C]; geom [V, B, 12]; ref_packed [B, H*C, W];
     depth_values [B, D, H, W] f32; w1 [C, 1] f32; scalars [4] f32 =
-    (b1, w2, b2, 1/(N-1)). Returns (volume, overflow [1,1] i32)."""
+    (b1, w2, b2, 1/(N-1)). Returns (volume, overflow [1,1] i32), plus the
+    per-cell overflow map [ncells, 1] i32 when ofmap_mode == 1 (the
+    two-tier narrow pass); ofmap_mode == 2 takes that map as `ofmap` and
+    computes only flagged cells (the wide repair pass)."""
     v, b, h, w, c = src_stack.shape
     d = depth_values.shape[1]
     if 128 % c or h % NY:
@@ -318,10 +365,13 @@ def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
 
     lkh = max(2, min(lookahead, nsteps))
     out_dtype = src_stack.dtype
+    ncells = nsteps // v
+    if ofmap is None:
+        ofmap = jnp.zeros((1, 1), jnp.int32)  # dummy (modes 0/1)
     kern = functools.partial(
         _kernel, H=h, W=w, HP=hp, WP=wp, C=c, DG=dg, G=g, V=v, XBLK=xblk,
         WB=wbv, J=j, WBP=wbp, JP=jp, NYB=nyb, NXB=nxb, L=lkh,
-        sx=sx, ox=ox, sy=sy, oy=oy, out_dtype=out_dtype)
+        sx=sx, ox=ox, sy=sy, oy=oy, out_dtype=out_dtype, OFM=ofmap_mode)
 
     def cell_of(i):
         t = i // v
@@ -345,7 +395,8 @@ def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
         bb, dgi, yb, xb = cell_of(i)
         return bb, dgi, yb, xb
 
-    volume, overflow = pl.pallas_call(
+    ofmap_out_cells = ncells if ofmap_mode == 1 else 1
+    volume, overflow, ofmap_out = pl.pallas_call(
         kern,
         grid=(nsteps,),
         in_specs=[
@@ -353,6 +404,7 @@ def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
             pl.BlockSpec((1, 1, NY, g * xblk), dv_next_idx),
             pl.BlockSpec(memory_space=pltpu.SMEM),        # geom [V, B, 12]
             pl.BlockSpec(memory_space=pltpu.SMEM),        # scalars [4]
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # ofmap (mode 2)
             pl.BlockSpec(memory_space=pltpu.HBM),         # src_packed
             pl.BlockSpec((1, NY * c, xblk), ref_idx),     # ref_packed
             pl.BlockSpec(memory_space=pltpu.VMEM),        # w1 [C, 1]
@@ -360,10 +412,13 @@ def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
         out_specs=(
             pl.BlockSpec((1, g, NY * c, xblk), out_idx),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ofmap_out_cells, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, d, h * c, w), out_dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((ofmap_out_cells, 1), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((lkh, wbp, jp * c), src_stack.dtype),
@@ -372,9 +427,70 @@ def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
             pltpu.VMEM((NY * c, g * xblk), jnp.float32),
         ],
         interpret=interpret,
-    )(dvals, dvals, geom, scalars, src_packed, ref_packed, w1)
+    )(dvals, dvals, geom, scalars, ofmap, src_packed, ref_packed, w1)
     if not packed:
         volume = jnp.moveaxis(volume.reshape(b, d, h, c, w), 3, 4)
+    if ofmap_mode == 1:
+        return volume, overflow, ofmap_out
+    return volume, overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wb", "band_rows", "narrow_wb", "narrow_band_rows",
+                     "xblk", "align_corners", "lookahead", "depth_group",
+                     "interpret"))
+def _two_tier_volume(src_stack, geom, ref_packed, depth_values, w1v,
+                     scalars, *, wb, band_rows, narrow_wb, narrow_band_rows,
+                     xblk=128, align_corners=False, lookahead=2,
+                     depth_group=16, interpret=False):
+    """Adaptive band sizing with static shapes: a narrow-window pass
+    computes every cell and flags the (few) cells whose real span exceeds
+    the narrow budget; a wide-window repair pass — skipped entirely via
+    lax.cond when nothing is flagged — recomputes ONLY flagged cells
+    (clean cells skip window math, band DMA and matmuls in-kernel) and
+    the flagged output tiles are spliced in. FLOPs drop by roughly
+    (narrow_wb * J_narrow) / (wb * J_wide) on the dominant x-resolve
+    matmul (PERF.md round-5 notes) while the result stays tap-exact: a
+    cell is either fully narrow-valid or fully wide-computed. Residual
+    overflow (still too wide at the wide windows, or a z-sign-change)
+    is reported in the returned scalar for the caller's XLA fallback."""
+    v, b, h, w, c = src_stack.shape
+    d = depth_values.shape[1]
+    common = dict(xblk=xblk, align_corners=align_corners,
+                  lookahead=lookahead, depth_group=depth_group,
+                  interpret=interpret, packed=True)
+    vol_n, _, ofmap = _fused_adaptive_volume(
+        src_stack, geom, ref_packed, depth_values, w1v, scalars,
+        wb=narrow_wb, band_rows=narrow_band_rows, ofmap_mode=1, **common)
+
+    xb = xblk if w >= xblk else w
+    g = max(k for k in range(1, min(depth_group, d) + 1) if d % k == 0)
+    dg = d // g
+    nxb = pl.cdiv(w, xb)
+    nyb = h // NY
+    wpad = nxb * xb
+
+    def blockify(vol):
+        vp = jnp.pad(vol, ((0, 0), (0, 0), (0, 0), (0, wpad - w)))
+        return vp.reshape(b, dg, g, nyb, NY * c, nxb, xb)
+
+    def repair(_):
+        vol_w, of_w = _fused_adaptive_volume(
+            src_stack, geom, ref_packed, depth_values, w1v, scalars,
+            ofmap, wb=wb, band_rows=band_rows, ofmap_mode=2, **common)
+        mask = (ofmap.reshape(b, dg, nyb, nxb)
+                != 0)[:, :, None, :, None, :, None]
+        merged = jnp.where(mask, blockify(vol_w), blockify(vol_n))
+        merged = merged.reshape(b, d, h * c, wpad)[..., :w]
+        return merged, of_w
+
+    def keep(_):
+        return vol_n, jnp.zeros((1, 1), jnp.int32)
+
+    volume, overflow = jax.lax.cond(
+        jnp.sum(jnp.minimum(ofmap, 1)) > 0, repair, keep, None)
+    volume = jnp.moveaxis(volume.reshape(b, d, h, c, w), 3, 4)
     return volume, overflow
 
 
@@ -383,12 +499,20 @@ def fused_adaptive_cost_volume(ref_fea, src_feas, ref_proj, src_projs,
                                align_corners: bool = False,
                                wb: int = 192, band_rows: int = 16,
                                lookahead: int = 2, depth_group: int = 16,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               two_tier: bool = False,
+                               narrow_wb: int = 96,
+                               narrow_band_rows: int = 8):
     """Drop-in for ops.costvol.build_cost_volume(mode="adaptive") at
     inference on TPU. ref_fea [B,H,W,C]; src_feas: list of [B,H,W,C];
     projs fused [B,4,4]; depth_values [B,D] or [B,D,H,W]; w1 [C] + scalars
     from nn.aggweight.fold_aggweight. Returns (volume [B,D,H,W,C],
-    overflow [1,1] i32)."""
+    overflow [1,1] i32).
+
+    two_tier=True enables per-cell adaptive band sizing: most cells pay
+    only the narrow (narrow_wb x narrow_band_rows) window FLOPs, cells
+    whose actual span exceeds it are recomputed at the (wb x band_rows)
+    wide windows (see _two_tier_volume)."""
     b, h, w, c = ref_fea.shape
     if depth_values.ndim == 2:
         depth_values = jnp.broadcast_to(
@@ -402,6 +526,13 @@ def fused_adaptive_cost_volume(ref_fea, src_feas, ref_proj, src_projs,
         jnp.asarray(b2, jnp.float32),
         jnp.asarray(1.0 / nm1, jnp.float32)])
     w1v = jnp.asarray(w1, jnp.float32).reshape(c, 1)
+    if two_tier:
+        return _two_tier_volume(
+            src_stack, geom, ref_packed, depth_values, w1v, scalars,
+            wb=wb, band_rows=band_rows, narrow_wb=narrow_wb,
+            narrow_band_rows=narrow_band_rows, align_corners=align_corners,
+            lookahead=lookahead, depth_group=depth_group,
+            interpret=interpret)
     return _fused_adaptive_volume(
         src_stack, geom, ref_packed, depth_values, w1v, scalars,
         wb=wb, band_rows=band_rows, align_corners=align_corners,

@@ -142,7 +142,8 @@ def plane_sweep_warp(src_fea: jnp.ndarray, src_proj: jnp.ndarray,
         # drop opts only the FUSED cost-volume kernel understands (callers
         # share one sampler_opts dict across both kernels)
         opts = {k: v for k, v in (sampler_opts or {}).items()
-                if k != "depth_group"}
+                if k not in ("depth_group", "two_tier", "narrow_wb",
+                             "narrow_band_rows")}
         return plane_sweep_warp_pallas(src_fea, src_proj, ref_proj,
                                        depth_values, align_corners,
                                        return_overflow=return_overflow,

@@ -38,7 +38,8 @@ def maybe_initialize_distributed():
     Resolution order:
       1. ``JAX_COORDINATOR_ADDRESS`` [+ ``JAX_NUM_PROCESSES`` /
          ``JAX_PROCESS_ID``] set -> explicit initialize with those values
-         (initialize() itself reads the env vars; we only gate on them).
+         (the standard manual configuration of
+         ``jax.distributed.initialize``'s parameters).
       2. A supported cluster environment (TPU pod metadata, Slurm, Open
          MPI, GKE) -> bare ``initialize()`` auto-detection.
       3. Otherwise single-process: no-op.
@@ -51,7 +52,12 @@ def maybe_initialize_distributed():
     if already is not None:
         return jax.process_index(), jax.process_count()
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=None if nproc is None else int(nproc),
+            process_id=None if pid is None else int(pid))
     else:
         try:
             from jax._src.clusters import ClusterEnv

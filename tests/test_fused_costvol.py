@@ -99,6 +99,69 @@ def test_fused_volume_depth_groups(rng, wnet, dd, grp):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
 
 
+@pytest.mark.parametrize("narrow_wb,narrow_rows", [(8, 1), (16, 4), (W, H)])
+def test_two_tier_matches_xla(rng, wnet, narrow_wb, narrow_rows):
+    """Per-cell adaptive band sizing: whatever mix of cells the narrow
+    pass handles vs flags for the wide repair pass — all-flagged (tiny
+    narrow windows), mixed, or none-flagged (narrow == wide) — the merged
+    volume must equal the XLA oracle and report zero residual overflow."""
+    net, variables = wnet
+    projs = _fused_projs(V + 1)
+    ref_p, src_ps = projs[0], projs[1:]
+    feas = [jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+            for _ in range(V + 1)]
+    dv = jnp.asarray((4 + 4 * rng.random((B, D, H, W))).astype(np.float32))
+
+    weight_fn = lambda vol: net.apply(variables, vol, False)
+    want = build_cost_volume(feas[0], feas[1:], ref_p, src_ps, dv,
+                             mode="adaptive", weight_fn=weight_fn,
+                             sampler="xla")
+    w1, b1, w2, b2 = fold_aggweight(variables)
+    got, overflow = fused_adaptive_cost_volume(
+        feas[0], feas[1:], ref_p, src_ps, dv, w1, b1, w2, b2,
+        wb=W, band_rows=H, two_tier=True, narrow_wb=narrow_wb,
+        narrow_band_rows=narrow_rows, interpret=True)
+    assert int(np.asarray(overflow).sum()) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
+def test_two_tier_narrow_pass_flags_cells(rng, wnet):
+    """The narrow pass's per-cell map must actually flag cells when its
+    windows are too small (the repair pass has work to do) and be all-
+    clear when narrow == wide."""
+    from damvsnet_tpu.ops.pallas.fused_costvol import (
+        _fused_adaptive_volume, geom_from_projs)
+
+    net, variables = wnet
+    projs = _fused_projs(V + 1)
+    ref_p, src_ps = projs[0], projs[1:]
+    feas = [jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+            for _ in range(V + 1)]
+    dv = jnp.broadcast_to(
+        jnp.asarray(np.linspace(4, 8, D, dtype=np.float32))[None, :, None,
+                                                            None],
+        (B, D, H, W))
+    w1, b1, w2, b2 = fold_aggweight(variables)
+    src_stack = jnp.stack(feas[1:])
+    geom = jnp.stack([geom_from_projs(sp, ref_p) for sp in src_ps])
+    ref_packed = jnp.transpose(feas[0], (0, 1, 3, 2)).reshape(B, H * C, W)
+    scalars = jnp.stack([jnp.asarray(b1, jnp.float32),
+                         jnp.asarray(w2, jnp.float32),
+                         jnp.asarray(b2, jnp.float32),
+                         jnp.asarray(1.0 / V, jnp.float32)])
+    w1v = jnp.asarray(w1, jnp.float32).reshape(C, 1)
+
+    _, _, ofmap_tiny = _fused_adaptive_volume(
+        src_stack, geom, ref_packed, dv, w1v, scalars,
+        wb=8, band_rows=1, interpret=True, ofmap_mode=1)
+    assert int(np.asarray(ofmap_tiny).sum()) > 0
+
+    _, _, ofmap_full = _fused_adaptive_volume(
+        src_stack, geom, ref_packed, dv, w1v, scalars,
+        wb=W, band_rows=H, interpret=True, ofmap_mode=1)
+    assert int(np.asarray(ofmap_full).sum()) == 0
+
+
 def test_cascade_fused_matches_xla(rng):
     """Full-model wiring: sampler='pallas' (fused adaptive path, folded
     weights pulled from the bound submodule) vs sampler='xla'."""
