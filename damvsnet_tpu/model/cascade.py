@@ -244,7 +244,10 @@ class CascadeMVSNet(nn.Module):
                 mode=self.agg_mode, weight_fn=weight_fn,
                 align_corners=ac, sampler=sampler,
                 sampler_opts=stage_opts or None, return_overflow=True)
-        if self.slab_axis is not None:
+        # no constraint during flax init: init traces the forward outside
+        # any mesh context, and the "no active mesh" warning there is
+        # noise (the real apply runs under `with mesh:`)
+        if self.slab_axis is not None and not self.is_initializing():
             from ..parallel.mesh import slab_constraint
             volume = slab_constraint(volume, self.slab_axis)
 

@@ -36,7 +36,13 @@ class CostRegNet(nn.Module):
     def __call__(self, x, train: bool = False):
         from ..parallel.mesh import slab_constraint
         c = self.base_channels
-        slab = lambda t: slab_constraint(t, self.slab_axis)
+        # no-op during flax init: init traces outside any mesh context and
+        # the "no active mesh" warning there is noise (cascade.py does the
+        # same for its volume constraint)
+        if self.is_initializing():
+            slab = lambda t: t
+        else:
+            slab = lambda t: slab_constraint(t, self.slab_axis)
         lb = None
         if self.depth_block:
             from ..ops.depthblock import level_blocks

@@ -43,15 +43,37 @@ def main():
     dv_all = np.asarray(batch["depth_values"])[0]
     dmin, dmax = float(dv_all[0]), float(dv_all[-1])
 
-    combos = [
-        dict(depth_group=8, wb=192, band_rows=16),   # current default
-        dict(depth_group=16, wb=192, band_rows=16),
-        dict(depth_group=16, wb=256, band_rows=16),
-        dict(depth_group=8, wb=128, band_rows=16),
-        dict(depth_group=8, wb=192, band_rows=8),
-        dict(depth_group=16, wb=192, band_rows=8),
-        dict(depth_group=32, wb=256, band_rows=16),
-    ]
+    # r5 sweep: the r4 single-window serving config per stage vs two-tier
+    # adaptive band sizing (wide tier = the rig's full-sweep worst case
+    # from scripts/compute_windows.py; narrow tier swept). ADIA-narrowed
+    # stage-2/3 ranges mean most cells fit the narrow tier.
+    combos_per_stage = {
+        0: [
+            dict(depth_group=16, wb=192, band_rows=16),       # r4 serving
+            dict(depth_group=16, wb=192, band_rows=32, two_tier=True,
+                 narrow_wb=96, narrow_band_rows=8),
+            dict(depth_group=16, wb=192, band_rows=32, two_tier=True,
+                 narrow_wb=128, narrow_band_rows=12),
+            dict(depth_group=16, wb=192, band_rows=32, two_tier=True,
+                 narrow_wb=160, narrow_band_rows=16),
+        ],
+        1: [
+            dict(depth_group=16, wb=192, band_rows=24),       # r4 serving
+            dict(depth_group=16, wb=224, band_rows=48, two_tier=True,
+                 narrow_wb=96, narrow_band_rows=8),
+            dict(depth_group=16, wb=224, band_rows=48, two_tier=True,
+                 narrow_wb=128, narrow_band_rows=12),
+        ],
+        2: [
+            dict(depth_group=16, wb=320, band_rows=49),       # r4 serving
+            dict(depth_group=16, wb=320, band_rows=80, two_tier=True,
+                 narrow_wb=96, narrow_band_rows=16),
+            dict(depth_group=16, wb=320, band_rows=80, two_tier=True,
+                 narrow_wb=128, narrow_band_rows=16),
+            dict(depth_group=16, wb=320, band_rows=80, two_tier=True,
+                 narrow_wb=160, narrow_band_rows=24),
+        ],
+    }
 
     results = []
     for sidx in range(3):
@@ -74,7 +96,7 @@ def main():
             (1, d, h, w)).copy())
         w1 = jnp.asarray(rs.random(c, np.float32))
 
-        for cfg in combos:
+        for cfg in combos_per_stage[sidx]:
             def run(ref, srcs, dv, w1, i, cfg=cfg, ref_proj=ref_proj,
                     src_projs=src_projs):
                 vol, of = fused_adaptive_cost_volume(

@@ -179,7 +179,7 @@ def test_dp_gradient_equivalence():
     np.testing.assert_allclose(float(l_single), float(l_sharded), rtol=1e-4)
     flat_s, _ = jax.tree_util.tree_flatten(g_single)
     flat_m, _ = jax.tree_util.tree_flatten(g_sharded)
-    gnorm = np.sqrt(sum(float(jnp.sum(a.astype(jnp.float64) ** 2))
+    gnorm = np.sqrt(sum(float(jnp.sum(a.astype(jnp.float32) ** 2))
                         for a in flat_s))
     for a, b in zip(flat_s, flat_m):
         a = np.asarray(a, np.float64).ravel()
