@@ -163,15 +163,21 @@ def restore_checkpoint(path: str, state: TrainState,
     optax's NamedTuple opt-state containers survive the round trip
     (a bare orbax restore returns plain dicts)."""
     path = os.path.abspath(path)
-    template = {
-        "params": state.params,
-        "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
-        "step": 0,
-        "epoch": 0,
-    }
     ckptr = ocp.PyTreeCheckpointer()
-    payload = ckptr.restore(path, item=template)
+    if weights_only:
+        # raw restore: params/batch_stats are plain dicts anyway, and the
+        # checkpoint's optimizer (ignored here) may differ structurally
+        # from state's (e.g. finetuning with a different schedule)
+        payload = ckptr.restore(path)
+    else:
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": 0,
+            "epoch": 0,
+        }
+        payload = ckptr.restore(path, item=template)
     state = state.replace(params=payload["params"],
                           batch_stats=payload["batch_stats"])
     if not weights_only:
