@@ -298,8 +298,24 @@ class CascadeMVSNet(nn.Module):
                  intrinsics_matrices=None, train: bool = False):
         b, num_views, height, width, _ = imgs.shape
 
-        # step 1: per-view multi-stage features
-        features = [self.feature(imgs[:, v], train) for v in range(num_views)]
+        # step 1: per-view multi-stage features. At inference the N views
+        # run as ONE batched FeatureNet call (5x fewer kernel launches,
+        # same math — eval BN is running-stat affine, so folding views
+        # into the batch axis is exact). Training keeps the reference's
+        # per-view loop (cas_mvsnet.py:197-200): batch-stat BN would see
+        # a different batch composition if views were folded in.
+        if train or self.is_initializing():
+            features = [self.feature(imgs[:, v], train)
+                        for v in range(num_views)]
+        else:
+            folded = self.feature(
+                imgs.reshape(b * num_views, height, width, imgs.shape[-1]),
+                train)
+            features = [
+                {k: v.reshape((b, num_views) + v.shape[1:])[:, n]
+                 for k, v in folded.items()}
+                for n in range(num_views)
+            ]
         if self.use_fmt:
             features = self.fmt_pathway(features)
 

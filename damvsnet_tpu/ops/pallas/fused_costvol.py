@@ -502,7 +502,8 @@ def fused_adaptive_cost_volume(ref_fea, src_feas, ref_proj, src_projs,
                                interpret: bool = False,
                                two_tier: bool = False,
                                narrow_wb: int = 96,
-                               narrow_band_rows: int = 8):
+                               narrow_band_rows: int = 8,
+                               xblk: int = 128):
     """Drop-in for ops.costvol.build_cost_volume(mode="adaptive") at
     inference on TPU. ref_fea [B,H,W,C]; src_feas: list of [B,H,W,C];
     projs fused [B,4,4]; depth_values [B,D] or [B,D,H,W]; w1 [C] + scalars
@@ -531,9 +532,10 @@ def fused_adaptive_cost_volume(ref_fea, src_feas, ref_proj, src_projs,
             src_stack, geom, ref_packed, depth_values, w1v, scalars,
             wb=wb, band_rows=band_rows, narrow_wb=narrow_wb,
             narrow_band_rows=narrow_band_rows, align_corners=align_corners,
-            lookahead=lookahead, depth_group=depth_group,
+            lookahead=lookahead, depth_group=depth_group, xblk=xblk,
             interpret=interpret)
     return _fused_adaptive_volume(
         src_stack, geom, ref_packed, depth_values, w1v, scalars,
         wb=wb, band_rows=band_rows, align_corners=align_corners,
-        lookahead=lookahead, depth_group=depth_group, interpret=interpret)
+        lookahead=lookahead, depth_group=depth_group, xblk=xblk,
+        interpret=interpret)
