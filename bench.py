@@ -42,22 +42,6 @@ import numpy as np
 A100_BASELINE_MAPS_PER_SEC = 3.0
 
 
-def serving_sampler_opts():
-    """The cli/test.py serving configuration: two-tier adaptive bands with
-    wide tiers sized from the full-sweep worst case (compute_windows.py
-    --scene --eval) and narrow tiers at the per-cell p95."""
-    return {
-        "depth_group": 16,
-        "two_tier": True,
-        "stage1": {"narrow_wb": 160, "narrow_band_rows": 12,
-                   "wb": 192, "band_rows": 24},
-        "stage2": {"narrow_wb": 160, "narrow_band_rows": 12,
-                   "wb": 224, "band_rows": 32},
-        "stage3": {"narrow_wb": 160, "narrow_band_rows": 16,
-                   "wb": 320, "band_rows": 56},
-    }
-
-
 def load_bench_weights(variables):
     """Overlay weights/bench_ckpt.npz (flat path -> array) onto the
     init-shaped variables; returns (variables, loaded?)."""
@@ -90,6 +74,7 @@ def main():
     import jax.numpy as jnp
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from damvsnet_tpu.data.synthetic import make_synthetic_sample
+    from damvsnet_tpu.infer.serving import serving_sampler_opts
     from damvsnet_tpu.model import CascadeMVSNet
 
     dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[

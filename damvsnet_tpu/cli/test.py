@@ -56,10 +56,12 @@ def build_parser():
     p.add_argument("--sampler", default="auto",
                    choices=["auto", "pallas", "xla"])
     p.add_argument("--sampler_windows", default="dtu",
-                   choices=["dtu", "default"],
+                   choices=["dtu", "single", "default"],
                    help="banded-kernel window budgets: 'dtu' = the "
-                        "KERNEL_PARITY-validated per-stage windows for "
-                        "full-res DTU eval; 'default' = model defaults")
+                        "KERNEL_PARITY-validated two-tier serving config "
+                        "for full-res DTU eval (infer/serving.py); "
+                        "'single' = the r4 single-window config; "
+                        "'default' = model defaults")
     p.add_argument("--cache_dir", default="~/.cache/jax_damvsnet",
                    help="persistent XLA compilation cache ('' disables)")
     # fusion
@@ -110,14 +112,12 @@ def main(argv=None):
     else:
         dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[args.dtype]
 
-    sampler_opts = {"depth_group": 16}
-    if args.sampler_windows == "dtu":
-        # the KERNEL_PARITY-validated serving windows: worst-case
-        # full-sweep spans at 1152x864 eval geometry (PERF.md); with the
-        # clamp, hypotheses are bounded by the input sweep so these
-        # provably cannot overflow on conforming rigs
-        sampler_opts.update({"stage2": {"band_rows": 24},
-                             "stage3": {"band_rows": 49, "wb": 320}})
+    from ..infer.serving import serving_sampler_opts
+    if args.sampler_windows == "default":
+        sampler_opts = {"depth_group": 16}
+    else:
+        sampler_opts = serving_sampler_opts(
+            two_tier=args.sampler_windows == "dtu")
 
     model = CascadeMVSNet(
         ndepths=tuple(int(x) for x in args.ndepths.split(",") if x),

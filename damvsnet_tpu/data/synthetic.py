@@ -15,9 +15,19 @@ from ..core.cameras import stage_intrinsics, stage_proj_matrices
 
 
 def _texture(wx, wy):
-    r = 0.5 + 0.25 * np.sin(3.0 * wx) + 0.25 * np.cos(2.3 * wy + 1.7 * wx)
-    g = 0.5 + 0.25 * np.sin(1.3 * wx + 2.1 * wy) + 0.25 * np.cos(4.1 * wy)
-    b = 0.5 + 0.25 * np.sin(2.7 * wx * wy * 0.3) + 0.25 * np.cos(1.9 * wx)
+    # low-frequency base + mid-frequency detail bands: photometric
+    # matching precision scales with texture gradient, and the original
+    # few-cycles-per-image bands capped the achievable depth accuracy at
+    # ~0.8 stage intervals regardless of kernel correctness (the
+    # ACCURACY harness then measures the texture, not the framework).
+    # Band frequencies stay below the stage-2 (half-res) Nyquist of the
+    # default rigs so pyramid matching stays well-posed.
+    r = (0.5 + 0.17 * np.sin(3.0 * wx) + 0.17 * np.cos(2.3 * wy + 1.7 * wx)
+         + 0.08 * np.sin(12.3 * wx + 4.1 * wy) + 0.08 * np.cos(23.7 * wy))
+    g = (0.5 + 0.17 * np.sin(1.3 * wx + 2.1 * wy) + 0.17 * np.cos(4.1 * wy)
+         + 0.08 * np.sin(17.9 * wy - 6.3 * wx) + 0.08 * np.cos(26.1 * wx))
+    b = (0.5 + 0.17 * np.sin(2.7 * wx * wy * 0.3) + 0.17 * np.cos(1.9 * wx)
+         + 0.08 * np.sin(21.3 * wx + 9.7 * wy) + 0.08 * np.cos(14.9 * wy))
     return np.stack([r, g, b], axis=-1).astype(np.float32)
 
 
