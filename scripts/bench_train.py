@@ -131,9 +131,14 @@ def main():
 
     # variant 1 (headline): fused Pallas cost volume with its custom VJP.
     # clamp_samples bounds ADIA hypotheses into the input sweep so the
-    # default window budgets hold (cli/train.py ships the same pairing).
+    # window budgets hold (cli/train.py ships the same pairing).
+    # BENCH_TRAIN_SAMPLER_OPTS overrides the per-stage windows (set them
+    # from scripts/compute_windows.py for the rig so overflow_steps = 0).
+    fused_opts = {"depth_group": 16}
+    if os.environ.get("BENCH_TRAIN_SAMPLER_OPTS"):
+        fused_opts = json.loads(os.environ["BENCH_TRAIN_SAMPLER_OPTS"])
     fused = base.clone(fused_train=True, clamp_samples=True,
-                       sampler_opts={"depth_group": 16})
+                       sampler_opts=fused_opts)
     dt_f, compile_f, of_f = measure(make_bench_loop(fused))
     rows["fused_vjp"] = {"sec_per_step": round(dt_f, 4),
                          "steps_per_sec": round(1.0 / dt_f, 4),

@@ -162,9 +162,18 @@ def test_two_tier_narrow_pass_flags_cells(rng, wnet):
     assert int(np.asarray(ofmap_full).sum()) == 0
 
 
-def test_cascade_fused_matches_xla(rng):
+@pytest.mark.parametrize("opts", [
+    {"interpret": True},
+    # serving-config shape: per-stage two-tier dicts (infer/serving.py)
+    {"interpret": True, "two_tier": True,
+     "stage1": {"narrow_wb": 16, "narrow_band_rows": 4},
+     "stage2": {"narrow_wb": 24, "narrow_band_rows": 8},
+     "stage3": {"narrow_wb": 32, "narrow_band_rows": 8}},
+])
+def test_cascade_fused_matches_xla(rng, opts):
     """Full-model wiring: sampler='pallas' (fused adaptive path, folded
-    weights pulled from the bound submodule) vs sampler='xla'."""
+    weights pulled from the bound submodule) vs sampler='xla', with and
+    without the per-stage two-tier serving opts."""
     from damvsnet_tpu.model import CascadeMVSNet
 
     b, n, h, w = 1, 3, 32, 32
@@ -178,8 +187,7 @@ def test_cascade_fused_matches_xla(rng):
     dv = jnp.asarray(np.linspace(4.0, 8.0, 8, dtype=np.float32)[None])
 
     kw = dict(ndepths=(8, 8, 8), cr_base_chs=(8, 8, 8), use_geo_fusion=False)
-    pall = CascadeMVSNet(sampler="pallas",
-                         sampler_opts={"interpret": True}, **kw)
+    pall = CascadeMVSNet(sampler="pallas", sampler_opts=opts, **kw)
     variables = pall.init(jax.random.PRNGKey(0), imgs, proj_ms, dv,
                           train=False)
     got = pall.apply(variables, imgs, proj_ms, dv, train=False)
