@@ -164,9 +164,16 @@ def export_synthetic_scene(datapath, scan="scan_synth", height=128, width=160,
     gt_points = []
     for v in range(nviews):
         img = (np.clip(scene["imgs"][v], 0, 1) * 255).astype(np.uint8)
+        # near-lossless JPEG (q100 + 4:4:4): q98's 4:2:0 DCT noise is
+        # ~0.35 px of photometric matching ambiguity on this texture —
+        # several mm of depth noise on this rig — which would measure the
+        # codec, not the framework (train images are rendered in memory
+        # and never pass through a codec)
         cv2.imwrite(os.path.join(base, f"images/{v:08d}.jpg"),
                     cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
-                    [cv2.IMWRITE_JPEG_QUALITY, 98])
+                    [cv2.IMWRITE_JPEG_QUALITY, 100,
+                     cv2.IMWRITE_JPEG_SAMPLING_FACTOR,
+                     cv2.IMWRITE_JPEG_SAMPLING_FACTOR_444])
         # PER-VIEW depth range (like DTU's per-view cam.txt ranges): the
         # rig's far cameras see the plane over a wider depth span than
         # view 0 — a shared view-0 range clips their sweep and caps the
