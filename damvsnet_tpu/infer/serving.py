@@ -23,13 +23,19 @@ def serving_sampler_opts(two_tier: bool = True) -> dict:
         return {"depth_group": 16,
                 "stage2": {"band_rows": 24},
                 "stage3": {"band_rows": 49, "wb": 320}}
+    # "candidate C" (BENCH_r05: 3.03 maps/s overflow-clean, vs 2.64 for
+    # the single-window config): stage 1 runs single-pass at the exact
+    # full-sweep budget (its uniform sweep makes spans homogeneous — a
+    # narrow tier would just double-pay); stages 2/3 run two-tier with
+    # narrow tiers placed at the J-quantization boundaries (J rounds to
+    # multiples of 128/C rows, so rows budgets just under a boundary are
+    # free capacity) sized to cover the measured per-cell span medians.
     return {
         "depth_group": 16,
         "two_tier": True,
-        "stage1": {"narrow_wb": 160, "narrow_band_rows": 12,
-                   "wb": 192, "band_rows": 24},
-        "stage2": {"narrow_wb": 160, "narrow_band_rows": 12,
+        "stage1": {"two_tier": False, "wb": 168, "band_rows": 17},
+        "stage2": {"narrow_wb": 176, "narrow_band_rows": 16,
                    "wb": 224, "band_rows": 32},
-        "stage3": {"narrow_wb": 160, "narrow_band_rows": 16,
+        "stage3": {"narrow_wb": 200, "narrow_band_rows": 26,
                    "wb": 320, "band_rows": 56},
     }
