@@ -132,7 +132,12 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, ofmap_in_ref, src_ref,
             dvhi = jnp.maximum(dvhi, sl)
         px0, py0, z0 = pxpy_z(dvlo, b, v, y, xb, XBLK)
         px1, py1, z1 = pxpy_z(dvhi, b, v, y, xb, XBLK)
-        lane_ok = jax.lax.broadcasted_iota(jnp.int32, (1, XBLK), 1) < W
+        # global pixel x, NOT the local lane index: when W % XBLK != 0 the
+        # padding lanes carry zero depth values, and on a rig whose
+        # relative t_z is exactly 0 their z is exactly 0 — a local-lane
+        # mask would let them raise a spurious zcross overflow
+        lane_ok = (jax.lax.broadcasted_iota(jnp.int32, (1, XBLK), 1)
+                   + xb * XBLK) < W
         zcross = lane_ok & (z0 * z1 <= 0.0)
         fin = (jnp.isfinite(px0) & jnp.isfinite(py0)
                & jnp.isfinite(px1) & jnp.isfinite(py1))

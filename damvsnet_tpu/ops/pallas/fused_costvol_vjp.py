@@ -107,7 +107,10 @@ def _kernel_bwd(dv_ref, geom_ref, scal_ref, ref_ref, cot_ref, w1_ref,
             dvhi = jnp.maximum(dvhi, sl)
         px0, py0, z0 = pxpy_z(dvlo, y, XBLK)
         px1, py1, z1 = pxpy_z(dvhi, y, XBLK)
-        lane_ok = jax.lax.broadcasted_iota(jnp.int32, (1, XBLK), 1) < W
+        # global pixel x (mirrors the forward): padding lanes with zero
+        # depth and exact-zero z must not raise a spurious zcross
+        lane_ok = (jax.lax.broadcasted_iota(jnp.int32, (1, XBLK), 1)
+                   + xb * XBLK) < W
         zcross = lane_ok & (z0 * z1 <= 0.0)
         fin = (jnp.isfinite(px0) & jnp.isfinite(py0)
                & jnp.isfinite(px1) & jnp.isfinite(py1))

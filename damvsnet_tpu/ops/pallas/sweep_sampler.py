@@ -97,9 +97,14 @@ def _kernel(dv_ref, dvn_ref, geom_ref, src_ref, out_ref, of_ref,
         py = ny / z * sy + oy
         return px, py
 
-    def row_span(px, py):
-        """Int32 scalars (ymin, xmin, ytop, xtop): the in-image tap span."""
-        lane_ok = jax.lax.broadcasted_iota(jnp.int32, (1, XBLK), 1) < W
+    def row_span(px, py, xb):
+        """Int32 scalars (ymin, xmin, ytop, xtop): the in-image tap span.
+        The lane mask uses the GLOBAL pixel x (not the local lane index):
+        when W % XBLK != 0 the padding lanes carry zero depth values and
+        project to arbitrary finite points that would otherwise widen the
+        span (or flag overflow) spuriously."""
+        lane_ok = (jax.lax.broadcasted_iota(jnp.int32, (1, XBLK), 1)
+                   + xb * XBLK) < W
         semi = (jnp.isfinite(px) & jnp.isfinite(py)
                 & (px > -1.0) & (px < W) & (py > -1.0) & (py < H) & lane_ok)
         big = jnp.float32(1e9)
@@ -121,7 +126,7 @@ def _kernel(dv_ref, dvn_ref, geom_ref, src_ref, out_ref, of_ref,
         spans = []
         for r in range(NY):
             px, py = pxpy_of(dv2d[r:r + 1], b, yb * NY + r, xb)
-            spans.append(row_span(px, py))
+            spans.append(row_span(px, py, xb))
         ymin_c = spans[0][0]
         xmin_c = spans[0][1]
         for r in range(1, NY):
