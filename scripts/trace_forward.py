@@ -38,11 +38,37 @@ def main():
     from damvsnet_tpu.model import CascadeMVSNet
 
     h, w, nv = (256, 320, 3) if args.small else (864, 1152, 5)
-    model = CascadeMVSNet(ndepths=(64, 32, 8), compute_dtype=jnp.bfloat16)
-    batch = _example_batch(batch=1, nviews=nv, height=h, width=w, d0=192)
+    if os.environ.get("TRACE_SERVING"):
+        # trace the SHIPPED serving configuration on the bench workload
+        # (scene input, trained weights, two-tier windows, clamp)
+        from bench import load_bench_weights
+        from damvsnet_tpu.data.synthetic import make_synthetic_sample
+        from damvsnet_tpu.infer.serving import serving_sampler_opts
+        model = CascadeMVSNet(ndepths=(64, 32, 8),
+                              compute_dtype=jnp.bfloat16,
+                              clamp_samples=True,
+                              sampler_opts=serving_sampler_opts())
+        sample = make_synthetic_sample(height=h, width=w, nviews=nv,
+                                       ndepths=192, with_gt=False, seed=3)
+        batch = {
+            "imgs": jnp.asarray(sample["imgs"][None]),
+            "proj_matrices": {k: jnp.asarray(v[None])
+                              for k, v in sample["proj_matrices"].items()},
+            "depth_values": jnp.asarray(sample["depth_values"][None]),
+            "intrinsics_matrices": {
+                k: jnp.asarray(v[None])
+                for k, v in sample["intrinsics_matrices"].items()},
+        }
+    else:
+        model = CascadeMVSNet(ndepths=(64, 32, 8), compute_dtype=jnp.bfloat16)
+        batch = _example_batch(batch=1, nviews=nv, height=h, width=w, d0=192)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
         batch["depth_values"], batch["intrinsics_matrices"], train=False)
+    if os.environ.get("TRACE_SERVING"):
+        from bench import load_bench_weights
+        variables, loaded = load_bench_weights(variables)
+        print("trained weights loaded:", loaded, flush=True)
 
     @jax.jit
     def fwd(v, imgs, proj, dvals, intr):
