@@ -47,31 +47,29 @@ def main():
     # adaptive band sizing (wide tier = the rig's full-sweep worst case
     # from scripts/compute_windows.py; narrow tier swept). ADIA-narrowed
     # stage-2/3 ranges mean most cells fit the narrow tier.
+    # r5 post-fix sweep: the shipped serving-C tiers vs xblk=64 variants
+    # (halving the output tile roughly halves the tile-span term of the
+    # narrow wb at 2x grid steps — PERF.md round-5 "next-round levers").
     combos_per_stage = {
         0: [
-            dict(depth_group=16, wb=192, band_rows=16),       # r4 serving
-            dict(depth_group=16, wb=192, band_rows=32, two_tier=True,
-                 narrow_wb=96, narrow_band_rows=8),
-            dict(depth_group=16, wb=192, band_rows=32, two_tier=True,
-                 narrow_wb=128, narrow_band_rows=12),
-            dict(depth_group=16, wb=192, band_rows=32, two_tier=True,
-                 narrow_wb=160, narrow_band_rows=16),
+            dict(depth_group=16, wb=168, band_rows=17),       # serving C
+            dict(depth_group=16, wb=104, band_rows=17, xblk=64),
+            dict(depth_group=16, wb=120, band_rows=17, xblk=64),
+            dict(depth_group=32, wb=104, band_rows=17, xblk=64),
         ],
         1: [
-            dict(depth_group=16, wb=192, band_rows=24),       # r4 serving
-            dict(depth_group=16, wb=224, band_rows=48, two_tier=True,
-                 narrow_wb=96, narrow_band_rows=8),
-            dict(depth_group=16, wb=224, band_rows=48, two_tier=True,
-                 narrow_wb=128, narrow_band_rows=12),
+            dict(depth_group=16, wb=224, band_rows=32, two_tier=True,
+                 narrow_wb=176, narrow_band_rows=16),          # serving C
+            dict(depth_group=16, wb=224, band_rows=32, two_tier=True,
+                 narrow_wb=112, narrow_band_rows=16, xblk=64),
+            dict(depth_group=16, wb=136, band_rows=32, xblk=64),
         ],
         2: [
-            dict(depth_group=16, wb=320, band_rows=49),       # r4 serving
-            dict(depth_group=16, wb=320, band_rows=80, two_tier=True,
-                 narrow_wb=96, narrow_band_rows=16),
-            dict(depth_group=16, wb=320, band_rows=80, two_tier=True,
-                 narrow_wb=128, narrow_band_rows=16),
-            dict(depth_group=16, wb=320, band_rows=80, two_tier=True,
-                 narrow_wb=160, narrow_band_rows=24),
+            dict(depth_group=16, wb=320, band_rows=56, two_tier=True,
+                 narrow_wb=200, narrow_band_rows=26),          # serving C
+            dict(depth_group=16, wb=320, band_rows=56, two_tier=True,
+                 narrow_wb=136, narrow_band_rows=26, xblk=64),
+            dict(depth_group=16, wb=200, band_rows=56, xblk=64),
         ],
     }
 
