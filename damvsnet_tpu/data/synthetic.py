@@ -22,12 +22,17 @@ def _texture(wx, wy):
     # ACCURACY harness then measures the texture, not the framework).
     # Band frequencies stay below the stage-2 (half-res) Nyquist of the
     # default rigs so pyramid matching stays well-posed.
+    # detail bands capped at |k| ~ 17 rad/unit: the stage-1 (quarter-res)
+    # pixel footprint at the default rigs is ~0.17 world units, Nyquist
+    # k ~ 19 — the first texture revision used bands up to 26 which
+    # ALIASED at stage 1 (the renderer is point-sampled, no prefilter),
+    # measurably degrading the coarse depth seeds
     r = (0.5 + 0.17 * np.sin(3.0 * wx) + 0.17 * np.cos(2.3 * wy + 1.7 * wx)
-         + 0.08 * np.sin(12.3 * wx + 4.1 * wy) + 0.08 * np.cos(23.7 * wy))
+         + 0.08 * np.sin(12.3 * wx + 4.1 * wy) + 0.08 * np.cos(16.7 * wy))
     g = (0.5 + 0.17 * np.sin(1.3 * wx + 2.1 * wy) + 0.17 * np.cos(4.1 * wy)
-         + 0.08 * np.sin(17.9 * wy - 6.3 * wx) + 0.08 * np.cos(26.1 * wx))
+         + 0.08 * np.sin(15.9 * wy - 6.3 * wx) + 0.08 * np.cos(17.3 * wx))
     b = (0.5 + 0.17 * np.sin(2.7 * wx * wy * 0.3) + 0.17 * np.cos(1.9 * wx)
-         + 0.08 * np.sin(21.3 * wx + 9.7 * wy) + 0.08 * np.cos(14.9 * wy))
+         + 0.08 * np.sin(14.3 * wx + 7.7 * wy) + 0.08 * np.cos(13.9 * wy))
     return np.stack([r, g, b], axis=-1).astype(np.float32)
 
 
