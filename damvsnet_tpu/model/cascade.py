@@ -218,10 +218,12 @@ class CascadeMVSNet(nn.Module):
                 fused_adaptive_cost_volume_vjp)
             w1, b1, w2, b2 = fold_aggweight(
                 self.weight_nets[stage_idx].variables)
-            # the trainable kernel has no two-tier mode (single-window VJP)
+            # the trainable kernel has no two-tier/subtile modes
+            # (single-window VJP)
             train_opts = {k: v for k, v in stage_opts.items()
                           if k not in ("two_tier", "narrow_wb",
-                                       "narrow_band_rows")}
+                                       "narrow_band_rows", "x_subtiles",
+                                       "sub_wb")}
             volume, overflow = fused_adaptive_cost_volume_vjp(
                 ref_fea, src_feas, ref_proj, src_projs, depth_samples,
                 w1, b1, w2, b2, **train_opts)

@@ -67,7 +67,7 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, ofmap_in_ref, src_ref,
             out_ref, of_ref, ofmap_out_ref,
             band, sem, carry, acc,
             *, H, W, HP, WP, C, DG, G, V, XBLK, WB, J, WBP, JP, NYB, NXB, L,
-            sx, ox, sy, oy, out_dtype, OFM):
+            sx, ox, sy, oy, out_dtype, OFM, XS, SWB):
     """OFM (static) selects the two-tier role of this pass:
       0 — single-pass (classic): global overflow scalar only.
       1 — narrow pass: additionally write a PER-CELL overflow map
@@ -77,12 +77,25 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, ofmap_in_ref, src_ref,
           (window math, band DMA, matmuls, output write) every clean
           cell — only flagged cells pay the wide-window FLOPs. The
           global overflow scalar then reports RESIDUAL overflow at the
-          wide windows (callers fall back to XLA only for that)."""
+          wide windows (callers fall back to XLA only for that).
+
+    XS (static) x-subtiles per 128-lane step: each output row is resolved
+    as XS independent lane-halves with their own x-window of width SWB
+    (< WB: a half's tap span is roughly half the tile-span term plus the
+    full disparity drift), so the x-resolve matmul K-dim — the dominant
+    FLOP term — shrinks by ~SWB/WB at unchanged lane occupancy. The cell
+    band DMA still covers the row hull (WBP budget from `wb`). Depth
+    values are host-packed subtile-major (lane = s*G*xs + g*xs + u) so
+    every half's lanes stay contiguous/128-aligned. XS=1, SWB=WB is the
+    classic kernel."""
     pid = pl.program_id(0)
     nsteps = pl.num_programs(0)
     AY = 128 // C
     jc = J * C
     GX = G * XBLK
+    xs = XBLK // XS
+    gxs = G * xs
+    CR = 1 + XS  # carry ints per row: y-offset + XS x-offsets
 
     def step_flag(step):
         # does this step's cell need computing? (always, except clean
@@ -102,13 +115,18 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, ofmap_in_ref, src_ref,
         b = t // DG
         return b, dg, yb, xb, v
 
-    def pxpy_z(dv, b, v, y, xb, n):
-        """Projected coords for one output row over n lanes; dv [1, n] f32
-        (n = XBLK for span endpoints, G*XBLK for the wide resolve, where
-        lane g*XBLK+i carries hypothesis g at pixel xb*XBLK+i)."""
+    def pxpy_z(dv, b, v, y, x0, n, wide=False):
+        """Projected coords for one output row over n lanes; dv [1, n] f32.
+        x0: the global pixel x of lane 0 (int32 scalar). Span path
+        (wide=False): n consecutive pixels x0..x0+n-1. Wide resolve
+        (wide=True, n = G*XBLK): subtile-major hypothesis packing, lane
+        s*G*xs + g*xs + u carries hypothesis g at pixel x0 + s*xs + u."""
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-        xf = jax.lax.rem(lane, XBLK).astype(jnp.float32) + (
-            xb.astype(jnp.float32) * XBLK)
+        if wide:
+            xoff = (lane // gxs) * xs + jax.lax.rem(lane, xs)
+        else:
+            xoff = lane
+        xf = xoff.astype(jnp.float32) + x0.astype(jnp.float32)
         yf = y.astype(jnp.float32)
         g = lambda k: geom_ref[v, b, k]
         nx = (g(0) * xf + (g(1) * yf + g(2))) * dv + g(9)
@@ -118,26 +136,30 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, ofmap_in_ref, src_ref,
         py = ny / z * sy + oy
         return px, py, z
 
-    def group_row_span(b, v, y, xb, dv_row):
-        """Union tap span over the row's G hypotheses: hull of the spans at
-        the per-lane min and max depth (px/py are Moebius in d, so monotone
-        wherever z keeps its sign — the [dmin, dmax] hull covers every
-        hypothesis regardless of their order), plus a z-sign-change flag
-        (z is affine in d: same sign at dmin/dmax <=> no pole inside)."""
-        dvlo = dv_row[:, :XBLK]
-        dvhi = dv_row[:, :XBLK]
+    def group_row_span(b, v, y, xb, sub, dv_row):
+        """Union tap span over one subtile's G hypotheses: hull of the
+        spans at the per-lane min and max depth (px/py are Moebius in d,
+        so monotone wherever z keeps its sign — the [dmin, dmax] hull
+        covers every hypothesis regardless of their order), plus a
+        z-sign-change flag (z is affine in d: same sign at dmin/dmax <=>
+        no pole inside). dv_row [1, G*XBLK] subtile-major; `sub` is the
+        subtile index (0 when XS == 1)."""
+        seg = dv_row[:, sub * gxs:(sub + 1) * gxs]
+        dvlo = seg[:, :xs]
+        dvhi = seg[:, :xs]
         for gi in range(1, G):
-            sl = dv_row[:, gi * XBLK:(gi + 1) * XBLK]
+            sl = seg[:, gi * xs:(gi + 1) * xs]
             dvlo = jnp.minimum(dvlo, sl)
             dvhi = jnp.maximum(dvhi, sl)
-        px0, py0, z0 = pxpy_z(dvlo, b, v, y, xb, XBLK)
-        px1, py1, z1 = pxpy_z(dvhi, b, v, y, xb, XBLK)
+        x0 = xb * XBLK + sub * xs
+        px0, py0, z0 = pxpy_z(dvlo, b, v, y, x0, xs)
+        px1, py1, z1 = pxpy_z(dvhi, b, v, y, x0, xs)
         # global pixel x, NOT the local lane index: when W % XBLK != 0 the
         # padding lanes carry zero depth values, and on a rig whose
         # relative t_z is exactly 0 their z is exactly 0 — a local-lane
         # mask would let them raise a spurious zcross overflow
-        lane_ok = (jax.lax.broadcasted_iota(jnp.int32, (1, XBLK), 1)
-                   + xb * XBLK) < W
+        lane_ok = (jax.lax.broadcasted_iota(jnp.int32, (1, xs), 1)
+                   + x0) < W
         zcross = lane_ok & (z0 * z1 <= 0.0)
         fin = (jnp.isfinite(px0) & jnp.isfinite(py0)
                & jnp.isfinite(px1) & jnp.isfinite(py1))
@@ -165,34 +187,47 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, ofmap_in_ref, src_ref,
 
     def stage_step(step, slot, dv_blk):
         """Window math + band DMA for one (cell, view) step; dv_blk is the
-        step's packed depth block [NY, G*XBLK]."""
+        step's packed depth block [NY, G*XBLK] (subtile-major lanes)."""
         b, dg, yb, xb, v = decomp(step)
-        spans = []
+        spans = []  # [row][subtile] -> (ymin, xmin, ytop, xtop)
         of = jnp.int32(0)
         for r in range(NY):
-            s = group_row_span(b, v, yb * NY + r, xb, dv_blk[r:r + 1])
-            spans.append(s[:4])
-            of = of | s[4]
-        ymin_c = spans[0][0]
-        xmin_c = spans[0][1]
-        for r in range(1, NY):
-            ymin_c = jnp.minimum(ymin_c, spans[r][0])
-            xmin_c = jnp.minimum(xmin_c, spans[r][1])
+            row = []
+            for s in range(XS):
+                sp = group_row_span(b, v, yb * NY + r, xb, s,
+                                    dv_blk[r:r + 1])
+                row.append(sp[:4])
+                of = of | sp[4]
+            spans.append(row)
+        ymin_c = spans[0][0][0]
+        xmin_c = spans[0][0][1]
+        for r in range(NY):
+            for s in range(XS):
+                ymin_c = jnp.minimum(ymin_c, spans[r][s][0])
+                xmin_c = jnp.minimum(xmin_c, spans[r][s][1])
         ybase_c = jnp.clip(ymin_c, 0, HP - JP) // AY * AY
         xbase_c = jnp.clip(xmin_c, 0, WP - WBP) // 8 * 8
         for r in range(NY):
-            ymin, xmin, ytop, xtop = spans[r]
-            ybase_r = jnp.clip(jnp.clip(ymin, 0, HP - J) // AY * AY,
+            # one y-window per row (hull over subtiles), one x-window per
+            # (row, subtile)
+            ymin_r = spans[r][0][0]
+            ytop_r = spans[r][0][2]
+            for s in range(1, XS):
+                ymin_r = jnp.minimum(ymin_r, spans[r][s][0])
+                ytop_r = jnp.maximum(ytop_r, spans[r][s][2])
+            ybase_r = jnp.clip(jnp.clip(ymin_r, 0, HP - J) // AY * AY,
                                ybase_c, ybase_c + (JP - J))
-            xbase_r = jnp.clip(jnp.clip(xmin, 0, WP - WB) // 8 * 8,
-                               xbase_c, xbase_c + (WBP - WB))
-            of = of | ((xtop - xbase_r > WB - 1)
-                       | (ytop - ybase_r > J - 1)).astype(jnp.int32)
-            carry[slot, 2 * r] = ybase_r - ybase_c
-            carry[slot, 2 * r + 1] = xbase_r - xbase_c
-        carry[slot, 2 * NY] = ybase_c
-        carry[slot, 2 * NY + 1] = xbase_c
-        carry[slot, 2 * NY + 2] = of
+            of = of | (ytop_r - ybase_r > J - 1).astype(jnp.int32)
+            carry[slot, CR * r] = ybase_r - ybase_c
+            for s in range(XS):
+                _, xmin, _, xtop = spans[r][s]
+                xbase_rs = jnp.clip(jnp.clip(xmin, 0, WP - SWB) // 8 * 8,
+                                    xbase_c, xbase_c + (WBP - SWB))
+                of = of | (xtop - xbase_rs > SWB - 1).astype(jnp.int32)
+                carry[slot, CR * r + 1 + s] = xbase_rs - xbase_c
+        carry[slot, CR * NY] = ybase_c
+        carry[slot, CR * NY + 1] = xbase_c
+        carry[slot, CR * NY + 2] = of
         pltpu.make_async_copy(
             src_ref.at[v, b, pl.ds(pl.multiple_of(xbase_c, 8), WBP),
                        pl.ds(pl.multiple_of(ybase_c * C, 128), JP * C)],
@@ -221,11 +256,11 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, ofmap_in_ref, src_ref,
         of_ref[0, 0] = jnp.int32(0)
 
     def compute_step():
-        ybase_c = carry[cur, 2 * NY]
-        xbase_c = carry[cur, 2 * NY + 1]
-        of_ref[0, 0] = of_ref[0, 0] | carry[cur, 2 * NY + 2]
+        ybase_c = carry[cur, CR * NY]
+        xbase_c = carry[cur, CR * NY + 1]
+        of_ref[0, 0] = of_ref[0, 0] | carry[cur, CR * NY + 2]
         if OFM == 1:
-            cof = carry[cur, 2 * NY + 2]
+            cof = carry[cur, CR * NY + 2]
 
             @pl.when(v == 0)
             def _():
@@ -242,7 +277,7 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, ofmap_in_ref, src_ref,
 
         mm_prec = (_HIGHEST if band.dtype == jnp.float32
                    else jax.lax.Precision.DEFAULT)
-        o_iota = jax.lax.broadcasted_iota(jnp.int32, (WB, GX), 0)
+        o_iota = jax.lax.broadcasted_iota(jnp.int32, (SWB, gxs), 0)
         b1 = scal_ref[0]
         w2 = scal_ref[1]
         b2 = scal_ref[2]
@@ -251,60 +286,76 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, ofmap_in_ref, src_ref,
 
         for r in range(NY):
             px, py, _ = pxpy_z(dv_ref[0, 0, r:r + 1], b, v, yb * NY + r,
-                               xb, GX)
-            yoff = carry[cur, 2 * r]
-            xoff = carry[cur, 2 * r + 1]
+                               xb * XBLK, GX, wide=True)
+            yoff = carry[cur, CR * r]
             ybase_r = ybase_c + yoff
-            xbase_r = xbase_c + xoff
-            sub = band[cur, pl.ds(pl.multiple_of(xoff, 8), WB),
-                       pl.ds(pl.multiple_of(yoff * C, 128), jc)]
-
             fin = jnp.isfinite(px) & jnp.isfinite(py)
             pxc = jnp.where(fin, jnp.clip(px, -2.0, W + 1.0), -2.0)
-            o_ids = o_iota + xbase_r
-            wxt = jnp.maximum(
-                0.0, 1.0 - jnp.abs(pxc - o_ids.astype(jnp.float32)))
-            wxt = jnp.where(o_ids <= W - 1, wxt, 0.0)  # [WB, G*XBLK]
-            warp_jc = jax.lax.dot_general(
-                sub, wxt.astype(band.dtype),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=mm_prec)  # [J*C, G*XBLK]
-
             pyc = jnp.where(fin, jnp.clip(py, -2.0, H + 1.0), -2.0)
-            warp = jnp.zeros((C, GX), jnp.float32)
-            for j in range(J):
-                row = ybase_r + j
-                m = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(pyc - row.astype(jnp.float32)))
-                m = jnp.where(row <= H - 1, m, 0.0)
-                warp = warp + m * warp_jc[j * C:(j + 1) * C, :]
-
-            # adaptive aggregation on the wide tile: diff^2, folded weight
-            # net, (w+1)*diff^2 accumulated over views in the f32
-            # accumulator. ref is hypothesis-independent: one [C, XBLK]
-            # tile repeated G times along lanes.
             ref_row = ref_ref[0, r * C:(r + 1) * C, :].astype(jnp.float32)
-            ref_tile = jnp.concatenate([ref_row] * G, axis=1)  # [C, G*XBLK]
-            diff = ref_tile - warp
-            diff2 = diff * diff
-            s = jnp.sum(diff2 * w1, axis=0, keepdims=True)  # [1, G*XBLK]
-            wgt = jnp.maximum(w2 * jnp.maximum(s + b1, 0.0) + b2, 0.0)
-            contrib = (wgt + 1.0) * diff2
 
-            @pl.when(v == 0)
-            def _(r=r, contrib=contrib):
-                acc[r * C:(r + 1) * C, :] = contrib
+            for s in range(XS):
+                xoff_s = carry[cur, CR * r + 1 + s]
+                xbase_s = xbase_c + xoff_s
+                sub = band[cur, pl.ds(pl.multiple_of(xoff_s, 8), SWB),
+                           pl.ds(pl.multiple_of(yoff * C, 128), jc)]
+                pxc_s = pxc[:, s * gxs:(s + 1) * gxs] if XS > 1 else pxc
+                pyc_s = pyc[:, s * gxs:(s + 1) * gxs] if XS > 1 else pyc
+                o_ids = o_iota + xbase_s
+                wxt = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(pxc_s - o_ids.astype(jnp.float32)))
+                wxt = jnp.where(o_ids <= W - 1, wxt, 0.0)  # [SWB, G*xs]
+                warp_jc = jax.lax.dot_general(
+                    sub, wxt.astype(band.dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mm_prec)  # [J*C, G*xs]
 
-            @pl.when(v > 0)
-            def _(r=r, contrib=contrib):
-                acc[r * C:(r + 1) * C, :] = acc[r * C:(r + 1) * C, :] + contrib
+                warp = jnp.zeros((C, gxs), jnp.float32)
+                for j in range(J):
+                    row = ybase_r + j
+                    m = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(pyc_s - row.astype(jnp.float32)))
+                    m = jnp.where(row <= H - 1, m, 0.0)
+                    warp = warp + m * warp_jc[j * C:(j + 1) * C, :]
+
+                # adaptive aggregation on the subtile: diff^2, folded
+                # weight net, (w+1)*diff^2 accumulated over views in the
+                # f32 accumulator. ref is hypothesis-independent: one
+                # [C, xs] tile repeated G times along lanes.
+                ref_seg = (ref_row[:, s * xs:(s + 1) * xs] if XS > 1
+                           else ref_row)
+                ref_tile = jnp.concatenate([ref_seg] * G, axis=1)
+                diff = ref_tile - warp
+                diff2 = diff * diff
+                sacc = jnp.sum(diff2 * w1, axis=0, keepdims=True)
+                wgt = jnp.maximum(w2 * jnp.maximum(sacc + b1, 0.0) + b2,
+                                  0.0)
+                contrib = (wgt + 1.0) * diff2
+
+                @pl.when(v == 0)
+                def _(r=r, s=s, contrib=contrib):
+                    acc[r * C:(r + 1) * C,
+                        s * gxs:(s + 1) * gxs] = contrib
+
+                @pl.when(v > 0)
+                def _(r=r, s=s, contrib=contrib):
+                    acc[r * C:(r + 1) * C, s * gxs:(s + 1) * gxs] = (
+                        acc[r * C:(r + 1) * C, s * gxs:(s + 1) * gxs]
+                        + contrib)
 
         @pl.when(v == V - 1)
         def _():
             for g in range(G):
-                out_ref[0, g] = (acc[:, g * XBLK:(g + 1) * XBLK]
-                                 * inv_nm1).astype(out_dtype)
+                if XS == 1:
+                    tile = acc[:, g * XBLK:(g + 1) * XBLK]
+                else:
+                    # undo the subtile-major lane packing: pixel s*xs + u
+                    # of hypothesis g lives at lane s*G*xs + g*xs + u
+                    tile = jnp.concatenate(
+                        [acc[:, s * gxs + g * xs:s * gxs + (g + 1) * xs]
+                         for s in range(XS)], axis=1)
+                out_ref[0, g] = (tile * inv_nm1).astype(out_dtype)
 
     if OFM == 2:
         pl.when(step_flag(pid))(compute_step)
@@ -315,7 +366,8 @@ def _kernel(dv_ref, dvn_ref, geom_ref, scal_ref, ofmap_in_ref, src_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("wb", "band_rows", "xblk", "align_corners", "lookahead",
-                     "depth_group", "packed", "interpret", "ofmap_mode"))
+                     "depth_group", "packed", "interpret", "ofmap_mode",
+                     "x_subtiles", "sub_wb"))
 def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
                            ref_packed: jnp.ndarray,
                            depth_values: jnp.ndarray,
@@ -325,7 +377,8 @@ def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
                            align_corners: bool = False, lookahead: int = 2,
                            depth_group: int = 16,
                            packed: bool = False, interpret: bool = False,
-                           ofmap_mode: int = 0):
+                           ofmap_mode: int = 0,
+                           x_subtiles: int = 1, sub_wb: int | None = None):
     """src_stack [V, B, H, W, C]; geom [V, B, 12]; ref_packed [B, H*C, W];
     depth_values [B, D, H, W] f32; w1 [C, 1] f32; scalars [4] f32 =
     (b1, w2, b2, 1/(N-1)). Returns (volume, overflow [1,1] i32), plus the
@@ -359,13 +412,26 @@ def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
         src_packed,
         jnp.transpose(src_stack, (0, 1, 3, 2, 4)).reshape(v, b, w, h * c),
         (0, 0, 0, 0))
-    # pack hypotheses along lanes: dvals[b, dg, y, (xb*G + gi)*XBLK + i]
-    # = depth_values[b, dg*G + gi, y, xb*XBLK + i] so each grid step reads
-    # its row's G hypotheses as one contiguous [1, G*XBLK] vector
+    # x-subtiling: each 128-lane step resolves XS lane groups with their
+    # own (narrower) x-window; requires each subtile's lane count to stay
+    # 128-aligned for the value slices
+    xsub = x_subtiles
+    if xsub > 1 and ((g * (xblk // xsub)) % 128 or xblk % xsub):
+        xsub = 1
+    swb = wbv if (sub_wb is None or xsub == 1) else min(
+        _round_up(sub_wb + 7, 8), wbv)
+
+    # pack hypotheses along lanes, subtile-major:
+    # dvals[b, dg, y, xb*G*XBLK + s*G*xs + gi*xs + u]
+    # = depth_values[b, dg*G + gi, y, xb*XBLK + s*xs + u] so each grid
+    # step reads its row's hypotheses as one [1, G*XBLK] vector whose XS
+    # lane groups are contiguous (for XS == 1 this is the classic g-major
+    # packing)
     wpad = nxb * xblk
     dvals = depth_values.astype(jnp.float32)
     dvals = jnp.pad(dvals, ((0, 0), (0, 0), (0, 0), (0, wpad - w)))
-    dvals = dvals.reshape(b, dg, g, h, nxb, xblk).transpose(0, 1, 3, 4, 2, 5)
+    dvals = dvals.reshape(b, dg, g, h, nxb, xsub, xblk // xsub)
+    dvals = dvals.transpose(0, 1, 3, 4, 5, 2, 6)
     dvals = dvals.reshape(b, dg, h, nxb * g * xblk)
 
     lkh = max(2, min(lookahead, nsteps))
@@ -376,7 +442,8 @@ def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
     kern = functools.partial(
         _kernel, H=h, W=w, HP=hp, WP=wp, C=c, DG=dg, G=g, V=v, XBLK=xblk,
         WB=wbv, J=j, WBP=wbp, JP=jp, NYB=nyb, NXB=nxb, L=lkh,
-        sx=sx, ox=ox, sy=sy, oy=oy, out_dtype=out_dtype, OFM=ofmap_mode)
+        sx=sx, ox=ox, sy=sy, oy=oy, out_dtype=out_dtype, OFM=ofmap_mode,
+        XS=xsub, SWB=swb)
 
     def cell_of(i):
         t = i // v
@@ -428,7 +495,7 @@ def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((lkh, wbp, jp * c), src_stack.dtype),
             pltpu.SemaphoreType.DMA((lkh,)),
-            pltpu.SMEM((lkh, 2 * NY + 3), jnp.int32),
+            pltpu.SMEM((lkh, (1 + xsub) * NY + 3), jnp.int32),
             pltpu.VMEM((NY * c, g * xblk), jnp.float32),
         ],
         interpret=interpret,
@@ -444,11 +511,12 @@ def _fused_adaptive_volume(src_stack: jnp.ndarray, geom: jnp.ndarray,
     jax.jit,
     static_argnames=("wb", "band_rows", "narrow_wb", "narrow_band_rows",
                      "xblk", "align_corners", "lookahead", "depth_group",
-                     "interpret"))
+                     "interpret", "x_subtiles", "sub_wb"))
 def _two_tier_volume(src_stack, geom, ref_packed, depth_values, w1v,
                      scalars, *, wb, band_rows, narrow_wb, narrow_band_rows,
                      xblk=128, align_corners=False, lookahead=2,
-                     depth_group=16, interpret=False):
+                     depth_group=16, interpret=False,
+                     x_subtiles=1, sub_wb=None):
     """Adaptive band sizing with static shapes: a narrow-window pass
     computes every cell and flags the (few) cells whose real span exceeds
     the narrow budget; a wide-window repair pass — skipped entirely via
@@ -465,9 +533,12 @@ def _two_tier_volume(src_stack, geom, ref_packed, depth_values, w1v,
     common = dict(xblk=xblk, align_corners=align_corners,
                   lookahead=lookahead, depth_group=depth_group,
                   interpret=interpret, packed=True)
+    # x-subtiling applies to the narrow tier (the bulk of the FLOPs);
+    # the rare wide repair pass stays single-window
     vol_n, _, ofmap = _fused_adaptive_volume(
         src_stack, geom, ref_packed, depth_values, w1v, scalars,
-        wb=narrow_wb, band_rows=narrow_band_rows, ofmap_mode=1, **common)
+        wb=narrow_wb, band_rows=narrow_band_rows, ofmap_mode=1,
+        x_subtiles=x_subtiles, sub_wb=sub_wb, **common)
 
     xb = xblk if w >= xblk else w
     g = max(k for k in range(1, min(depth_group, d) + 1) if d % k == 0)
@@ -508,7 +579,9 @@ def fused_adaptive_cost_volume(ref_fea, src_feas, ref_proj, src_projs,
                                two_tier: bool = False,
                                narrow_wb: int = 96,
                                narrow_band_rows: int = 8,
-                               xblk: int = 128):
+                               xblk: int = 128,
+                               x_subtiles: int = 1,
+                               sub_wb: int | None = None):
     """Drop-in for ops.costvol.build_cost_volume(mode="adaptive") at
     inference on TPU. ref_fea [B,H,W,C]; src_feas: list of [B,H,W,C];
     projs fused [B,4,4]; depth_values [B,D] or [B,D,H,W]; w1 [C] + scalars
@@ -538,9 +611,9 @@ def fused_adaptive_cost_volume(ref_fea, src_feas, ref_proj, src_projs,
             wb=wb, band_rows=band_rows, narrow_wb=narrow_wb,
             narrow_band_rows=narrow_band_rows, align_corners=align_corners,
             lookahead=lookahead, depth_group=depth_group, xblk=xblk,
-            interpret=interpret)
+            interpret=interpret, x_subtiles=x_subtiles, sub_wb=sub_wb)
     return _fused_adaptive_volume(
         src_stack, geom, ref_packed, depth_values, w1v, scalars,
         wb=wb, band_rows=band_rows, align_corners=align_corners,
         lookahead=lookahead, depth_group=depth_group, xblk=xblk,
-        interpret=interpret)
+        interpret=interpret, x_subtiles=x_subtiles, sub_wb=sub_wb)

@@ -143,7 +143,7 @@ def plane_sweep_warp(src_fea: jnp.ndarray, src_proj: jnp.ndarray,
         # share one sampler_opts dict across both kernels)
         opts = {k: v for k, v in (sampler_opts or {}).items()
                 if k not in ("depth_group", "two_tier", "narrow_wb",
-                             "narrow_band_rows")}
+                             "narrow_band_rows", "x_subtiles", "sub_wb")}
         return plane_sweep_warp_pallas(src_fea, src_proj, ref_proj,
                                        depth_values, align_corners,
                                        return_overflow=return_overflow,

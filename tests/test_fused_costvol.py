@@ -125,6 +125,32 @@ def test_two_tier_matches_xla(rng, wnet, narrow_wb, narrow_rows):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
 
 
+@pytest.mark.parametrize("two_tier", [False, True])
+def test_x_subtiles_match_xla(rng, wnet, two_tier):
+    """x-subtiling (XS=2: per-half windows, subtile-major lane packing,
+    narrower resolve matmuls) must be value-identical to the oracle, with
+    and without the two-tier composition."""
+    net, variables = wnet
+    projs = _fused_projs(V + 1)
+    ref_p, src_ps = projs[0], projs[1:]
+    feas = [jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+            for _ in range(V + 1)]
+    dv = jnp.asarray((4 + 4 * rng.random((B, D, H, W))).astype(np.float32))
+
+    weight_fn = lambda vol: net.apply(variables, vol, False)
+    want = build_cost_volume(feas[0], feas[1:], ref_p, src_ps, dv,
+                             mode="adaptive", weight_fn=weight_fn,
+                             sampler="xla")
+    w1, b1, w2, b2 = fold_aggweight(variables)
+    got, overflow = fused_adaptive_cost_volume(
+        feas[0], feas[1:], ref_p, src_ps, dv, w1, b1, w2, b2,
+        wb=W, band_rows=H, x_subtiles=2, sub_wb=24, depth_group=8,
+        two_tier=two_tier, narrow_wb=W, narrow_band_rows=H,
+        interpret=True)
+    assert int(np.asarray(overflow).sum()) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
 def test_two_tier_narrow_pass_flags_cells(rng, wnet):
     """The narrow pass's per-cell map must actually flag cells when its
     windows are too small (the repair pass has work to do) and be all-
